@@ -1,0 +1,348 @@
+"""Shared model machinery: constructors, EM template, decode wrappers.
+
+TPU-native equivalent of the reference model layer
+(reference: poor_man_gplvm/core.py:76-1094).  The reference duplicates the
+whole EM/decode template across its two abstract classes; here a single
+``_GPLVMCommon`` implements both, parameterized by ``has_dynamics``, while
+the public classes keep the reference's exact ctor signatures, method
+signatures, and em_res/decode_res key contracts.
+
+Functional-core / thin-OO-shell: all numerics live in
+:mod:`poor_man_gplvm_tpu.ops`; the classes hold a handful of scalars plus
+``params`` (n_basis, N) and ``tuning`` (L, N).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import tqdm
+from jax.scipy.special import logsumexp
+
+from poor_man_gplvm_tpu.ops import kernels as gpk
+from poor_man_gplvm_tpu.ops import mstep as fth
+from poor_man_gplvm_tpu.ops import emissions, hmm
+from poor_man_gplvm_tpu.ops.basis import generate_basis
+from poor_man_gplvm_tpu.utils import compat
+
+
+class _GPLVMCommon(ABC):
+    """Template shared by latent-only and jump models."""
+
+    has_dynamics: bool = False
+    observation_model: str = "poisson"
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+    def _init_common(
+        self,
+        n_neuron,
+        n_latent_bin,
+        tuning_lengthscale,
+        param_prior_std,
+        movement_variance,
+        explained_variance_threshold_basis,
+        rng_init_int,
+        w_init_variance,
+        w_init_mean,
+        basis_type,
+        custom_tuning_kernel,
+        custom_transition_kernel,
+        smoothness_penalty,
+        inference_engine,
+    ):
+        self.n_latent_bin = n_latent_bin
+        self.tuning_lengthscale = tuning_lengthscale
+        self.param_prior_std = param_prior_std
+        self.movement_variance = movement_variance
+        self.explained_variance_threshold_basis = explained_variance_threshold_basis
+        self.rng_init_int = rng_init_int
+        self.rng_init = jr.PRNGKey(rng_init_int)
+        self.n_neuron = n_neuron
+        self.possible_latent_bin = jnp.arange(self.n_latent_bin)
+        self.w_init_variance = w_init_variance
+        self.w_init_mean = w_init_mean
+        self.smoothness_penalty = smoothness_penalty
+        self.basis_type = basis_type
+        self.custom_tuning_kernel = custom_tuning_kernel
+        self.custom_transition_kernel = custom_transition_kernel
+        # 'prob' = scaled probability-space engine (TPU fast path);
+        # 'log'  = log-space mirror of the reference's op order.
+        self.inference_engine = inference_engine
+
+        self.tuning_basis = generate_basis(
+            self.tuning_lengthscale,
+            self.n_latent_bin,
+            self.explained_variance_threshold_basis,
+            include_bias=True,
+            basis_type=basis_type,
+            custom_kernel=custom_tuning_kernel,
+        )
+        self.n_basis = self.tuning_basis.shape[1]
+        self.ma_neuron_default = jnp.ones(self.n_neuron)
+        self.ma_latent_default = jnp.ones(self.n_latent_bin)
+        self.adam_runner = None
+        self.opt_state_init_fun = None
+        self.initialize_params(self.rng_init)
+
+    # pickle support: drop unpicklable jit closures (reference core.py:757-767)
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["adam_runner"] = None
+        state["opt_state_init_fun"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+    @abstractmethod
+    def get_tuning(self, params, hyperparam, tuning_basis):
+        """Link function mapping basis weights to tuning curves."""
+
+    @abstractmethod
+    def sample_y(self, latent_l, hyperparam=None, tuning=None, dt=1.0, key=None):
+        """Sample observations given a latent path."""
+
+    @abstractmethod
+    def m_step(
+        self, param_curr, y, log_posterior_curr, tuning_basis, hyperparam,
+        opt_state_curr=None,
+    ):
+        """One M-step on grouped statistics."""
+
+    # dynamics-specific hooks -----------------------------------------
+    @abstractmethod
+    def _make_transition(self, hyperparam):
+        """Build the hmm.Transition pytree + reference-style matrices from
+        instance attributes with per-call hyperparam overrides
+        (the load-bearing hyperparam.get(key, self.key) pattern,
+        reference core.py:469-471,608-616)."""
+
+    @abstractmethod
+    def init_latent_posterior(self, T, key, random_scale=0.1):
+        """Initial E-step posterior (different between the 1D and jump
+        families — intentional per the reference, core.py:241-250 vs 571-583)."""
+
+    # ------------------------------------------------------------------
+    # shared numerics
+    # ------------------------------------------------------------------
+    def initialize_params(self, key):
+        params_init = (
+            jax.random.normal(key, (self.n_basis, self.n_neuron))
+            * jnp.sqrt(self.w_init_variance)
+            + self.w_init_mean
+        )
+        tuning_init = self.get_tuning(
+            params_init, hyperparam={}, tuning_basis=self.tuning_basis
+        )
+        self.params = params_init
+        self.tuning = tuning_init
+        return params_init, tuning_init
+
+    def _smooth(self, y, tuning, hyperparam, trans, ma_neuron, ma_latent,
+                likelihood_scale, n_time_per_chunk):
+        return hmm.smooth_combined_chunked(
+            y, tuning, hyperparam, trans, ma_neuron, ma_latent,
+            likelihood_scale=likelihood_scale,
+            n_time_per_chunk=n_time_per_chunk,
+            observation_model=self.observation_model,
+            engine=self.inference_engine,
+        )
+
+    def predict_expected_rate(self, post_latent_marg, tuning=None):
+        """Expected firing rate under the latent posterior
+        (reference core.py:716-733)."""
+        if tuning is None:
+            tuning = self.tuning
+        if compat.is_tsdframe(post_latent_marg):
+            vals = post_latent_marg.d
+            rate = jnp.einsum("pn,tp->tn", tuning, vals)
+            return compat.tsdframe(d=np.asarray(rate), t=post_latent_marg.t)
+        rate = jnp.einsum("pn,tp->tn", tuning, post_latent_marg)
+        return rate
+
+    # ------------------------------------------------------------------
+    # naive-Bayes decoding (shared; reference core.py:179-207, 499-524)
+    # ------------------------------------------------------------------
+    def decode_latent_naive_bayes(
+        self, y, tuning=None, hyperparam=None, ma_neuron=None, ma_latent=None,
+        likelihood_scale=1.0, n_time_per_chunk=10000, dt_l=1.0,
+        observation_model=None, t_l=None,
+    ):
+        hyperparam = {} if hyperparam is None else hyperparam
+        if compat.is_tsdframe(y):
+            t_l = y.t
+            y = y.d
+        if ma_neuron is None:
+            ma_neuron = self.ma_neuron_default
+        if ma_latent is None:
+            ma_latent = self.ma_latent_default
+        if tuning is None:
+            tuning = self.tuning
+        if observation_model is None:
+            observation_model = self.observation_model
+        del likelihood_scale  # unused by the reference NB path too
+
+        log_post, log_marginal_l, log_marginal_total, ll_per_pos_l = (
+            emissions.get_naive_bayes_ma_chunk(
+                jnp.asarray(y), tuning, hyperparam, ma_neuron, ma_latent,
+                dt_l=dt_l, n_time_per_chunk=n_time_per_chunk,
+                observation_model=observation_model,
+            )
+        )
+        posterior_latent = np.exp(log_post)
+        if t_l is not None:
+            posterior_latent = compat.tsdframe(d=posterior_latent, t=t_l)
+        return {
+            "log_posterior_latent": np.array(log_post),
+            "log_marginal_l": np.array(log_marginal_l),
+            "log_marginal_total": float(log_marginal_total),
+            "posterior_latent": posterior_latent,
+            "ll_per_pos_l": np.array(ll_per_pos_l),
+        }
+
+    # ------------------------------------------------------------------
+    # EM template (reference core.py:259-373 / 592-713)
+    # ------------------------------------------------------------------
+    def fit_em(
+        self, y, hyperparam=None, key=None, n_iter=20, log_posterior_init=None,
+        opt_state_curr=None, ma_neuron=None, ma_latent=None,
+        n_time_per_chunk=10000, dt=1.0, likelihood_scale=1.0, save_every=None,
+        posterior_init_kwargs=None, verboase=True, **kwargs,
+    ):
+        hyperparam = {} if hyperparam is None else hyperparam
+        key = jr.PRNGKey(0) if key is None else key
+        posterior_init_kwargs = (
+            {"random_scale": 0.1} if posterior_init_kwargs is None
+            else posterior_init_kwargs
+        )
+        verboase = kwargs.pop("verbose", verboase)
+
+        if compat.is_tsdframe(y):
+            y_ = jnp.array(y.d)
+        else:
+            y_ = jnp.array(y)
+
+        # adopt hyperparam overrides into instance attrs (reference
+        # core.py:272-276, 608-616)
+        self._adopt_hyperparam(hyperparam)
+
+        if save_every is None:
+            save_every = n_iter
+
+        trans, kernel_attrs = self._make_transition(hyperparam)
+
+        if ma_neuron is None:
+            ma_neuron = self.ma_neuron_default
+        if ma_latent is None:
+            ma_latent = self.ma_latent_default
+
+        # regenerate basis when a new tuning_lengthscale is swept
+        # (reference core.py:296-300)
+        if "tuning_lengthscale" in hyperparam:
+            tuning_basis = generate_basis(
+                self.tuning_lengthscale, self.n_latent_bin,
+                self.explained_variance_threshold_basis, include_bias=True,
+                basis_type=self.basis_type,
+                custom_kernel=self.custom_tuning_kernel,
+            )
+        else:
+            tuning_basis = self.tuning_basis
+
+        if log_posterior_init is None:
+            log_posterior_init, _ = self.init_latent_posterior(
+                y_.shape[0], key, **posterior_init_kwargs
+            )
+            key, _ = jax.random.split(key, 2)
+
+        log_posterior_curr = log_posterior_init
+        log_marginal_l = []
+        m_step_res_l = {}
+        params = self.params
+
+        log_posterior_all_saved, params_saved = [], []
+        tuning_saved, iter_saved, log_marginal_saved = [], [], []
+
+        for i in tqdm.trange(n_iter, desc="EM", disable=not verboase):
+            m_res = self.m_step(
+                params, y_, log_posterior_curr, tuning_basis, hyperparam,
+                opt_state_curr=opt_state_curr,
+            )
+            if i == 0:
+                m_step_res_l = {k: [] for k in m_res.keys()}
+            for k in m_res.keys():
+                if k not in ["params", "opt_state"]:
+                    m_step_res_l[k].append(m_res[k])
+            params = m_res["params"]
+            opt_state_curr = m_res.get("opt_state", None)
+
+            tuning = self.get_tuning(params, hyperparam, tuning_basis)
+            (
+                log_posterior_all, log_marginal_final, _log_causal,
+                _log_pred, _log_acc, _ll,
+            ) = self._smooth(
+                y_, tuning, hyperparam, trans, ma_neuron, ma_latent,
+                likelihood_scale, n_time_per_chunk,
+            )
+
+            if self.has_dynamics:
+                log_posterior_curr = logsumexp(log_posterior_all, axis=1)
+            else:
+                log_posterior_curr = log_posterior_all
+            log_marginal_l.append(log_marginal_final)
+
+            if i % save_every == 0:
+                log_posterior_all_saved.append(log_posterior_all)
+                params_saved.append(params)
+                tuning_saved.append(tuning)
+                log_marginal_saved.append(log_marginal_final)
+                iter_saved.append(i)
+
+        # update attributes (reference core.py:344-349 / 678-686)
+        self.params = params
+        self.tuning = tuning
+        self.log_marginal_final = log_marginal_final
+        for attr_name, attr_val in kernel_attrs.items():
+            setattr(self, attr_name, attr_val)
+        self.tuning_basis = tuning_basis
+
+        posterior = np.exp(log_posterior_all)
+        em_res = {
+            "log_posterior_all_saved": log_posterior_all_saved,
+            "log_posterior_init": log_posterior_init,
+            "params_saved": params_saved,
+            "tuning_saved": tuning_saved,
+            "iter_saved": iter_saved,
+            "params": params,
+            "tuning": tuning,
+            "log_posterior_final": log_posterior_all,
+            "log_marginal": log_marginal_final,
+            "log_marginal_l": log_marginal_l,
+            "log_marginal_saved": log_marginal_saved,
+            "posterior": posterior,
+            "m_step_res_l": m_step_res_l,
+        }
+        if self.has_dynamics:
+            posterior_latent_marg = posterior.sum(axis=1)
+            posterior_dynamics_marg = posterior.sum(axis=2)
+            if compat.is_tsdframe(y):
+                posterior_latent_marg = compat.tsdframe(
+                    d=posterior_latent_marg, t=y.t
+                )
+                posterior_dynamics_marg = compat.tsdframe(
+                    d=posterior_dynamics_marg, t=y.t
+                )
+            em_res["posterior_latent_marg"] = posterior_latent_marg
+            em_res["posterior_dynamics_marg"] = posterior_dynamics_marg
+        elif compat.is_tsdframe(y):
+            em_res["posterior"] = compat.tsdframe(d=posterior, t=y.t)
+        return em_res
+
+    @abstractmethod
+    def _adopt_hyperparam(self, hyperparam):
+        """Copy per-call hyperparam overrides back onto instance attrs."""

@@ -1,0 +1,196 @@
+"""Emission log-likelihoods, in MXU-friendly matmul form.
+
+TPU-native redesign of the reference emission layer
+(reference: poor_man_gplvm/decoder.py:30-149).
+
+The reference computes the (T, L) log-likelihood with a vmap over time of an
+elementwise (L, N) reduction.  On TPU the same quantity is exactly two
+matmuls, which XLA places on the 128x128 systolic array (MXU):
+
+Poisson (lam = tuning*dt + RATE_FLOOR, all entries > 0 so xlogy == y*log):
+    ll[t, l] = (ma*y)[t] @ log(lam)[l]  -  ma[t] @ lam[l]
+               - sum_n ma[t, n] * gammaln(y[t, n] + 1)
+
+Gaussian (mu = tuning*dt, scalar noise_std):
+    ll[t, l] = -1/(2 s^2) * ( (ma*y^2)[t].sum - 2 (ma*y)[t] @ mu[l]
+                              + ma[t] @ (mu^2)[l] )
+               - (log s + log sqrt(2 pi)) * ma[t].sum
+
+Constants mirror the reference exactly: RATE_FLOOR=1e-20 (decoder.py:39),
+masked latent bins forced to MASK_NEG=-1e20 (decoder.py:46).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln, logsumexp
+
+RATE_FLOOR = 1e-20
+MASK_NEG = -1e20
+
+# Log-likelihoods feed log-marginal parity targets (<=1e-5 relative), so the
+# MXU must run these contractions at float32 accuracy (6-pass bf16), not the
+# TPU default bf16 inputs.  Switchable for throughput experiments.
+PRECISION = jax.lax.Precision.HIGHEST
+
+__all__ = [
+    "RATE_FLOOR",
+    "MASK_NEG",
+    "poisson_loglik",
+    "gaussian_loglik",
+    "get_loglikelihood_ma_all",
+    "get_loglikelihood_ma_all_changing_dt",
+    "get_naive_bayes_ma",
+    "get_naive_bayes_ma_chunk",
+]
+
+
+def _broadcast_neuron_mask(ma_neuron, y):
+    ma_neuron = jnp.asarray(ma_neuron, dtype=y.dtype)
+    return jnp.broadcast_to(ma_neuron, y.shape)
+
+
+def poisson_loglik(y, tuning, ma_neuron, ma_latent, dt=1.0):
+    """(T, L) Poisson log-likelihood via two MXU matmuls.
+
+    y: (T, N) counts; tuning: (L, N) rates; ma_neuron: (N,) or (T, N);
+    ma_latent: (L,); dt: scalar or (T,).
+    Matches reference decoder.py:31-48 elementwise semantics exactly.
+    """
+    y = jnp.asarray(y)
+    ma = _broadcast_neuron_mask(ma_neuron, y)
+    ym = y * ma
+    lgamma_term = (ma * gammaln(y + 1.0)).sum(axis=-1)  # (T,)
+
+    dt_arr = jnp.asarray(dt)
+    if dt_arr.ndim == 0:
+        lam = tuning * dt_arr + RATE_FLOOR  # (L, N)
+        log_lam = jnp.log(lam)
+        ll = (
+            jnp.matmul(ym, log_lam.T, precision=PRECISION)
+            - jnp.matmul(ma, lam.T, precision=PRECISION)
+            - lgamma_term[:, None]
+        )
+    else:
+        # per-time dt: the 1e-20 floor does not factor out of log(tuning*dt),
+        # so fall back to a time-batched elementwise contraction (only the
+        # naive-Bayes path uses changing dt; cf. decoder.py:73-85).
+        lam = tuning[None, :, :] * dt_arr[:, None, None] + RATE_FLOOR  # (T,L,N)
+        ll = (
+            jnp.einsum("tn,tln->tl", ym, jnp.log(lam), precision=PRECISION)
+            - jnp.einsum("tn,tln->tl", ma, lam, precision=PRECISION)
+            - lgamma_term[:, None]
+        )
+
+    return jnp.where(jnp.asarray(ma_latent, dtype=bool)[None, :], ll, MASK_NEG)
+
+
+def gaussian_loglik(y, tuning, noise_std, ma_neuron, ma_latent, dt=1.0):
+    """(T, L) Gaussian log-likelihood via matmuls.
+
+    Matches reference decoder.py:50-57 (scalar noise_std)."""
+    y = jnp.asarray(y)
+    ma = _broadcast_neuron_mask(ma_neuron, y)
+    dt_arr = jnp.asarray(dt)
+    const = -(jnp.log(noise_std) + 0.5 * math.log(2.0 * math.pi))
+
+    if dt_arr.ndim == 0:
+        mu = tuning * dt_arr  # (L, N)
+        quad = (
+            (ma * y * y).sum(axis=-1)[:, None]
+            - 2.0 * jnp.matmul(ma * y, mu.T, precision=PRECISION)
+            + jnp.matmul(ma, (mu * mu).T, precision=PRECISION)
+        )
+        ll = -0.5 / (noise_std**2) * quad + const * ma.sum(axis=-1)[:, None]
+    else:
+        mu = tuning[None, :, :] * dt_arr[:, None, None]  # (T, L, N)
+        resid = (y[:, None, :] - mu) / noise_std
+        ll = (-0.5 * resid * resid + const) * ma[:, None, :]
+        ll = ll.sum(axis=-1)
+
+    return jnp.where(jnp.asarray(ma_latent, dtype=bool)[None, :], ll, MASK_NEG)
+
+
+@partial(jax.jit, static_argnames=["observation_model"])
+def get_loglikelihood_ma_all(
+    y_l, tuning, hyperparam, ma_neuron, ma_latent, observation_model="poisson"
+):
+    """(T, L) log-likelihood, dt=1 (reference decoder.py:60-71)."""
+    if observation_model == "poisson":
+        return poisson_loglik(y_l, tuning, ma_neuron, ma_latent)
+    return gaussian_loglik(y_l, tuning, hyperparam["noise_std"], ma_neuron, ma_latent)
+
+
+@partial(jax.jit, static_argnames=["observation_model"])
+def get_loglikelihood_ma_all_changing_dt(
+    y_l, tuning, hyperparam, ma_neuron, ma_latent, dt_l, observation_model="poisson"
+):
+    """(T, L) log-likelihood with per-time dt (reference decoder.py:73-85)."""
+    if observation_model == "poisson":
+        return poisson_loglik(y_l, tuning, ma_neuron, ma_latent, dt=dt_l)
+    return gaussian_loglik(
+        y_l, tuning, hyperparam["noise_std"], ma_neuron, ma_latent, dt=dt_l
+    )
+
+
+@partial(jax.jit, static_argnames=["observation_model"])
+def get_naive_bayes_ma(
+    y_l, tuning, hyperparam, ma_neuron, ma_latent, dt_l=1.0, observation_model="poisson"
+):
+    """Per-time posterior with no temporal smoothing
+    (reference decoder.py:88-102).
+
+    Returns (log_post (T,L), log_marginal_l (T,), log_marginal scalar,
+    ll_per_pos_l (T,L))."""
+    dt_l = jnp.broadcast_to(jnp.asarray(dt_l, dtype=jnp.float32), (y_l.shape[0],))
+    ll = get_loglikelihood_ma_all_changing_dt(
+        y_l, tuning, hyperparam, ma_neuron, ma_latent, dt_l,
+        observation_model=observation_model,
+    )
+    log_marginal_l = logsumexp(ll, axis=-1, keepdims=True)
+    log_post = ll - log_marginal_l
+    log_marginal = jnp.sum(log_marginal_l)
+    return log_post, log_marginal_l[:, 0], log_marginal, ll
+
+
+def get_naive_bayes_ma_chunk(
+    y,
+    tuning,
+    hyperparam,
+    ma_neuron,
+    ma_latent,
+    dt_l=1.0,
+    n_time_per_chunk=10000,
+    observation_model="poisson",
+):
+    """Chunked naive Bayes (reference decoder.py:106-149).
+
+    Chunking here is purely a peak-memory knob; results are chunk-invariant.
+    Returns (log_post_l, log_marginal_l, log_marginal_total, ll_per_pos_l)."""
+    n_time_tot = y.shape[0]
+    n_chunks = -(-n_time_tot // n_time_per_chunk)
+    dt_l = jnp.broadcast_to(jnp.asarray(dt_l, dtype=jnp.float32), (n_time_tot,))
+    ma_neuron = jnp.broadcast_to(jnp.asarray(ma_neuron, dtype=jnp.float32), y.shape)
+
+    log_post_l, log_marginal_l_l, ll_l = [], [], []
+    log_marginal_total = 0.0
+    for n in range(n_chunks):
+        sl = slice(n * n_time_per_chunk, (n + 1) * n_time_per_chunk)
+        log_post, lml_l, lml, ll = get_naive_bayes_ma(
+            y[sl], tuning, hyperparam, ma_neuron[sl], ma_latent, dt_l[sl],
+            observation_model=observation_model,
+        )
+        log_post_l.append(log_post)
+        log_marginal_l_l.append(lml_l)
+        ll_l.append(ll)
+        log_marginal_total = log_marginal_total + lml
+    return (
+        jnp.concatenate(log_post_l, axis=0),
+        jnp.concatenate(log_marginal_l_l, axis=0),
+        log_marginal_total,
+        jnp.concatenate(ll_l, axis=0),
+    )

@@ -1,0 +1,510 @@
+"""Generic forward-backward smoother engines over discrete state spaces.
+
+TPU-native redesign of the reference inference engine
+(reference: poor_man_gplvm/decoder.py:151-332 and decoder_latentonly.py).
+
+Design departures from the reference (all invisible at the API level — the
+chunked driver returns the same 6-tuple of log-space arrays):
+
+* One generic engine serves both the joint (dynamics x latent) and the
+  latent-only models.  The state-space structure lives in a small pytree
+  ``Transition`` object that knows how to push a distribution forward
+  (``push``), pull a smoother ratio backward (``pull``), and weight the
+  pairwise-joint accumulation (``outer_acc``).
+
+* The default engine (``engine='prob'``) runs the classic *scaled* forward
+  /backward recursions in probability space: per step the transition apply is
+  a dense matvec (MXU/VPU-friendly) and the likelihood enters via a
+  max-shifted exp, with the per-step normalizer accumulated as the running
+  log-marginal.  This avoids the reference's per-step (state,)-shaped
+  logsumexp trees entirely.
+
+* The smoother does NOT carry the (n_dyn, n_dyn, L, L) accumulated pairwise
+  joint through the scan (reference decoder.py:219-221 carries ~1M floats per
+  step at L=500).  In probability space the accumulated joint factorizes:
+
+      acc[d,e,i,j] = Tdyn[d,e] * Tlat[e,i,j] * sum_t filt_t[d,i] * r_t[e,j]
+
+  where r_t = smooth_t / prior_t, so the whole accumulation is ONE
+  (T, S)^T @ (T, S) matmul after the scan — MXU work instead of scan-carry
+  bandwidth.
+
+* ``engine='log'`` is a faithful log-space mirror of the reference's
+  operation order, used for exactness tests and as a fallback.
+
+Chunking (``n_time_per_chunk``) is preserved as the peak-memory knob and is
+mathematically exact, as in the reference (decoder.py:258-332).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import logsumexp
+
+from poor_man_gplvm_tpu.ops.emissions import PRECISION, get_loglikelihood_ma_all
+
+JOINT_ACC_INIT = -1e40  # reference decoder.py:240
+
+__all__ = [
+    "LatentTransition",
+    "JointTransition",
+    "smooth_combined_chunked",
+    "filter_combined",
+    "compute_transition_posterior_prob",
+    "compute_transition_posterior_prob_latent",
+    "prob_to_log",
+]
+
+
+def prob_to_log(p, floor=JOINT_ACC_INIT):
+    """Elementwise log with a finite floor for exact zeros.
+
+    Probability-space inference underflows tiny posteriors to 0; the log-space
+    reference would report large negative values there.  Anything below
+    float32 tiny carries no probability mass, so we floor at ``floor``
+    (default -1e40, matching the reference's untouched-joint init)."""
+    return jnp.where(p > 0, jnp.log(jnp.where(p > 0, p, 1.0)), floor)
+
+
+# ---------------------------------------------------------------------------
+# Transition structures
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class LatentTransition:
+    """Latent-only (L, L) transition (reference decoder_latentonly.py)."""
+
+    T: jnp.ndarray  # (L, L) row-normalized, prob space; T[i, j] = p(j | i)
+    logT: jnp.ndarray  # (L, L)
+
+    def tree_flatten(self):
+        return (self.T, self.logT), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # shapes / inits ---------------------------------------------------
+    @property
+    def n_latent(self):
+        return self.T.shape[-1]
+
+    def uniform_log_init(self):
+        L = self.n_latent
+        return jnp.log(jnp.ones((L,), dtype=self.T.dtype) / L)
+
+    def bcast_ll(self, x):
+        return x
+
+    def latent_marginal_log(self, logp):
+        return logp
+
+    # probability-space engine ----------------------------------------
+    def push(self, p):
+        return jnp.matmul(p, self.T, precision=PRECISION)
+
+    def pull(self, r):
+        return jnp.matmul(self.T, r, precision=PRECISION)
+
+    def outer_acc(self, P, R):
+        # P: (T', L) filter posteriors; R: (T', L) smooth/prior ratios
+        return jnp.einsum("ti,tj->ij", P, R, precision=PRECISION) * self.T
+
+    def joint_shape(self):
+        L = self.n_latent
+        return (L, L)
+
+    # log-space engine (reference op order) ---------------------------
+    def push_log(self, logp):
+        return logsumexp(logp[:, None] + self.logT, axis=0)
+
+    def smooth_step_log(self, log_smooth_next, log_filt_curr, log_prior_next):
+        inside = (
+            self.logT
+            + (log_smooth_next - log_prior_next)[None, :]
+            + log_filt_curr[:, None]
+        )
+        return logsumexp(inside, axis=1), inside
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class JointTransition:
+    """Joint dynamics x latent transition (reference decoder.py:151-256).
+
+    State shape (n_dyn, L).  Forward push applies the dynamics transition
+    first, then the dynamics-conditioned latent transition — same order as
+    reference decoder.py:160-164."""
+
+    Tdyn: jnp.ndarray  # (n_dyn, n_dyn); Tdyn[d, e] = p(e | d)
+    Tlat: jnp.ndarray  # (n_dyn, L, L); Tlat[e, i, j] = p(j | i, dyn=e)
+    logTdyn: jnp.ndarray
+    logTlat: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.Tdyn, self.Tlat, self.logTdyn, self.logTlat), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # shapes / inits ---------------------------------------------------
+    @property
+    def n_latent(self):
+        return self.Tlat.shape[-1]
+
+    @property
+    def n_dyn(self):
+        return self.Tdyn.shape[0]
+
+    def uniform_log_init(self):
+        n_dyn, L = self.n_dyn, self.n_latent
+        return jnp.log(jnp.ones((n_dyn, L), dtype=self.Tlat.dtype) / (n_dyn * L))
+
+    def bcast_ll(self, x):
+        return x[None, :]
+
+    def latent_marginal_log(self, logp):
+        return logsumexp(logp, axis=-2)
+
+    # probability-space engine ----------------------------------------
+    def push(self, p):
+        q = jnp.einsum("pl,pd->dl", p, self.Tdyn, precision=PRECISION)
+        return jnp.einsum("di,dij->dj", q, self.Tlat, precision=PRECISION)
+
+    def pull(self, r):
+        s = jnp.einsum("eij,ej->ei", self.Tlat, r, precision=PRECISION)
+        return jnp.einsum("de,ei->di", self.Tdyn, s, precision=PRECISION)
+
+    def outer_acc(self, P, R):
+        # P: (T', n_dyn, L); R: (T', n_dyn, L)
+        raw = jnp.einsum("tdi,tej->deij", P, R, precision=PRECISION)
+        return raw * self.Tdyn[:, :, None, None] * self.Tlat[None, :, :, :]
+
+    def joint_shape(self):
+        n_dyn, L = self.n_dyn, self.n_latent
+        return (n_dyn, n_dyn, L, L)
+
+    # log-space engine (reference op order) ---------------------------
+    def push_log(self, logp):
+        a = logsumexp(logp[:, None, :] + self.logTdyn[:, :, None], axis=0)
+        return logsumexp(a[:, :, None] + self.logTlat, axis=1)
+
+    def smooth_step_log(self, log_smooth_next, log_filt_curr, log_prior_next):
+        # broadcast to (dyn_curr, dyn_next, lat_curr, lat_next)
+        inside = (
+            self.logTlat[None, :, :, :]
+            + self.logTdyn[:, :, None, None]
+            + (log_smooth_next - log_prior_next)[None, :, None, :]
+            + log_filt_curr[:, None, :, None]
+        )
+        return logsumexp(inside, axis=(1, 3)), inside
+
+
+# ---------------------------------------------------------------------------
+# probability-space scans
+# ---------------------------------------------------------------------------
+
+
+def _forward_scan_prob(ll, trans, carry, likelihood_scale):
+    def step(c, ll_t):
+        p_prev, logz = c
+        prior = trans.push(p_prev)
+        m = jnp.max(ll_t)
+        w = jnp.exp(likelihood_scale * (ll_t - m))
+        u = prior * trans.bcast_ll(w)
+        s = jnp.sum(u)
+        p = u / jnp.maximum(s, jnp.finfo(u.dtype).tiny)
+        ratio = jnp.log(s) + likelihood_scale * m
+        return (p, logz + ratio), (p, prior, ratio)
+
+    (p_last, logz), (post, prior, ratios) = lax.scan(step, carry, ll)
+    return post, prior, ratios, (p_last, logz)
+
+
+def _backward_scan_prob(p_filt_xs, p_prior_xs, trans, p_smooth_init):
+    def step(p_smooth_next, x):
+        p_filt_t, p_prior_next = x
+        safe_prior = jnp.where(p_prior_next > 0, p_prior_next, 1.0)
+        r = jnp.where(p_prior_next > 0, p_smooth_next / safe_prior, 0.0)
+        p_smooth = p_filt_t * trans.pull(r)
+        p_smooth = p_smooth / jnp.maximum(
+            jnp.sum(p_smooth), jnp.finfo(p_smooth.dtype).tiny
+        )
+        return p_smooth, (p_smooth, r)
+
+    _, (smooth, ratios) = lax.scan(
+        step, p_smooth_init, (p_filt_xs, p_prior_xs), reverse=True
+    )
+    acc = trans.outer_acc(p_filt_xs, ratios)
+    return smooth, acc
+
+
+# ---------------------------------------------------------------------------
+# log-space scans (faithful mirror of the reference's op order)
+# ---------------------------------------------------------------------------
+
+
+def _forward_scan_log(ll, trans, carry, likelihood_scale):
+    def step(c, ll_t):
+        logp_prev, logz = c
+        log_prior = trans.push_log(logp_prev)
+        unnorm = log_prior + likelihood_scale * trans.bcast_ll(ll_t)
+        ratio = logsumexp(unnorm)
+        logp = unnorm - ratio
+        return (logp, logz + ratio), (logp, log_prior, ratio)
+
+    (logp_last, logz), (post, prior, ratios) = lax.scan(step, carry, ll)
+    return post, prior, ratios, (logp_last, logz)
+
+
+def _backward_scan_log(log_filt_xs, log_prior_xs, trans, carry_init):
+    def step(c, x):
+        log_smooth_next, acc = c
+        log_filt_t, log_prior_next = x
+        log_smooth_curr, inside = trans.smooth_step_log(
+            log_smooth_next, log_filt_t, log_prior_next
+        )
+        acc = jnp.logaddexp(acc, inside)
+        return (log_smooth_curr, acc), log_smooth_curr
+
+    (_, acc), smooth = lax.scan(
+        step, carry_init, (log_filt_xs, log_prior_xs), reverse=True
+    )
+    return smooth, acc
+
+
+# ---------------------------------------------------------------------------
+# jitted per-chunk programs
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=["observation_model", "engine"])
+def _filter_chunk(
+    y, tuning, hyperparam, trans, ma_neuron, ma_latent, carry,
+    likelihood_scale, observation_model, engine,
+):
+    ll = get_loglikelihood_ma_all(
+        y, tuning, hyperparam, ma_neuron, ma_latent,
+        observation_model=observation_model,
+    )
+    scan_fn = _forward_scan_prob if engine == "prob" else _forward_scan_log
+    post, prior, ratios, carry_out = scan_fn(ll, trans, carry, likelihood_scale)
+    return post, prior, ratios, carry_out, ll
+
+
+@partial(jax.jit, static_argnames=["engine"])
+def _backward_chunk(filt_xs, prior_xs, trans, carry, engine):
+    if filt_xs.shape[0] == 0:  # T=1 sequence: nothing to smooth over
+        return filt_xs, carry
+    if engine == "prob":
+        smooth_init, acc_in = carry
+        smooth, acc = _backward_scan_prob(filt_xs, prior_xs, trans, smooth_init)
+        return smooth, (smooth[0], acc_in + acc)
+    smooth, acc = _backward_scan_log(filt_xs, prior_xs, trans, carry)
+    return smooth, (smooth[0], acc)
+
+
+# ---------------------------------------------------------------------------
+# public drivers
+# ---------------------------------------------------------------------------
+
+
+def filter_combined(
+    y, tuning, hyperparam, trans, ma_neuron, ma_latent, carry_init=None,
+    likelihood_scale=1.0, observation_model="poisson", engine="prob",
+):
+    """Causal filter over the full sequence (one chunk).
+
+    Mirrors reference ``filter_all_step_combined_ma`` (decoder.py:189-198);
+    returns log-space (log_posterior_all, log_marginal_final, log_prior_all,
+    log_one_step_predictive_marginals, log_likelihood_all)."""
+    if carry_init is None:
+        log_init = trans.uniform_log_init()
+        carry_init = (log_init, jnp.array(0.0, dtype=jnp.float32))
+    if engine == "prob":
+        carry = (jnp.exp(carry_init[0]), carry_init[1])
+    else:
+        carry = carry_init
+    post, prior, ratios, carry_out, ll = _filter_chunk(
+        y, tuning, hyperparam, trans, ma_neuron, ma_latent, carry,
+        likelihood_scale, observation_model, engine,
+    )
+    if engine == "prob":
+        post, prior = prob_to_log(post), prob_to_log(prior)
+    return post, carry_out[1], prior, ratios, ll
+
+
+def smooth_combined_chunked(
+    y,
+    tuning,
+    hyperparam,
+    trans,
+    ma_neuron,
+    ma_latent=None,
+    likelihood_scale=1.0,
+    n_time_per_chunk=10000,
+    observation_model="poisson",
+    engine="prob",
+):
+    """Chunked forward-backward smoother — the E-step workhorse.
+
+    Same contract as reference ``smooth_all_step_combined_ma_chunk``
+    (decoder.py:258-332) / ``..._latent`` (decoder_latentonly.py:156-224):
+
+    Returns ``(log_acausal_posterior_all, log_marginal_final,
+    log_causal_posterior_all, log_one_step_predictive_marginals,
+    log_accumulated_joint, log_likelihood_all)``.
+
+    The backward pass consumes the +1-shifted causal prior exactly as the
+    reference (decoder.py:315): chunk [a, b) pairs with priors [a+1, b+1),
+    and the final timestep's smoothed posterior equals its filter posterior.
+    """
+    if engine not in ("prob", "log"):
+        raise ValueError(f"engine must be 'prob' or 'log', got {engine!r}")
+    y = jnp.asarray(y)
+    n_time_tot = y.shape[0]
+    n_chunks = -(-n_time_tot // n_time_per_chunk)
+
+    ma_neuron = jnp.asarray(ma_neuron, dtype=jnp.float32)
+    if ma_latent is None:
+        ma_latent = jnp.ones(tuning.shape[0], dtype=jnp.float32)
+
+    # ---- forward pass over chunks ----
+    carry = None
+    post_chunks, prior_chunks, ratio_chunks, ll_chunks = [], [], [], []
+    for n in range(n_chunks):
+        sl = slice(n * n_time_per_chunk, (n + 1) * n_time_per_chunk)
+        y_chunk = y[sl]
+        if ma_neuron.ndim == 2:
+            ma_chunk = ma_neuron[sl]
+        else:
+            ma_chunk = jnp.broadcast_to(ma_neuron, y_chunk.shape)
+
+        if carry is None:
+            log_init = trans.uniform_log_init()
+            if engine == "prob":
+                carry = (jnp.exp(log_init), jnp.array(0.0, dtype=jnp.float32))
+            else:
+                carry = (log_init, jnp.array(0.0, dtype=jnp.float32))
+
+        post, prior, ratios, carry, ll = _filter_chunk(
+            y_chunk, tuning, hyperparam, trans, ma_chunk, ma_latent, carry,
+            likelihood_scale, observation_model, engine,
+        )
+        post_chunks.append(post)
+        prior_chunks.append(prior)
+        ratio_chunks.append(ratios)
+        ll_chunks.append(ll)
+    log_marginal_final = carry[1]
+
+    prior_all = jnp.concatenate(prior_chunks, axis=0)
+    ratios_all = jnp.concatenate(ratio_chunks, axis=0)
+    ll_all = jnp.concatenate(ll_chunks, axis=0)
+
+    # ---- backward pass over chunks, reversed ----
+    smooth_chunks = [None] * n_chunks
+    bwd_carry = None
+    for n in range(n_chunks - 1, -1, -1):
+        a = n * n_time_per_chunk
+        b = min((n + 1) * n_time_per_chunk, n_time_tot)
+        filt_chunk = post_chunks[n]
+        prior_shifted = prior_all[a + 1 : b + 1]
+
+        if bwd_carry is None:  # last chunk: smoother starts from last filter post
+            filt_xs = filt_chunk[:-1]
+            if engine == "prob":
+                bwd_carry = (
+                    filt_chunk[-1],
+                    jnp.zeros(trans.joint_shape(), dtype=jnp.float32),
+                )
+            else:
+                bwd_carry = (
+                    filt_chunk[-1],
+                    jnp.full(trans.joint_shape(), JOINT_ACC_INIT),
+                )
+            smooth, bwd_carry = _backward_chunk(
+                filt_xs, prior_shifted, trans, bwd_carry, engine
+            )
+            smooth = jnp.concatenate([smooth, filt_chunk[-1][None]], axis=0)
+        else:
+            smooth, bwd_carry = _backward_chunk(
+                filt_chunk, prior_shifted, trans, bwd_carry, engine
+            )
+        smooth_chunks[n] = smooth
+
+    smooth_all = jnp.concatenate(smooth_chunks, axis=0)
+    post_all = jnp.concatenate(post_chunks, axis=0)
+    acc = bwd_carry[1]
+
+    if engine == "prob":
+        smooth_all = prob_to_log(smooth_all)
+        post_all = prob_to_log(post_all)
+        acc = prob_to_log(acc)
+
+    return smooth_all, log_marginal_final, post_all, ratios_all, acc, ll_all
+
+
+# ---------------------------------------------------------------------------
+# transition posterior extraction (reference decoder.py:334-375,
+# decoder_latentonly.py:226-248)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def compute_transition_posterior_prob(log_accumulated_joint_total):
+    """12-key dict of joint/conditional transition posteriors for the joint
+    model (reference decoder.py:334-375)."""
+    log_joint_full = log_accumulated_joint_total - logsumexp(
+        log_accumulated_joint_total
+    )
+    log_joint_latent = logsumexp(log_joint_full, axis=(0, 1))
+    log_joint_dynamics = logsumexp(log_joint_full, axis=(2, 3))
+    log_transition_latent = log_joint_latent - logsumexp(
+        log_joint_latent, axis=1, keepdims=True
+    )
+    log_transition_dynamics = log_joint_dynamics - logsumexp(
+        log_joint_dynamics, axis=1, keepdims=True
+    )
+    log_transition_full = log_joint_full - logsumexp(
+        log_joint_full, axis=(1, 3), keepdims=True
+    )
+    return {
+        "p_joint_full": jnp.exp(log_joint_full),
+        "p_joint_latent": jnp.exp(log_joint_latent),
+        "p_joint_dynamics": jnp.exp(log_joint_dynamics),
+        "p_transition_full": jnp.exp(log_transition_full),
+        "p_transition_latent": jnp.exp(log_transition_latent),
+        "p_transition_dynamics": jnp.exp(log_transition_dynamics),
+        "log_joint_full": log_joint_full,
+        "log_joint_latent": log_joint_latent,
+        "log_joint_dynamics": log_joint_dynamics,
+        "log_transition_full": log_transition_full,
+        "log_transition_latent": log_transition_latent,
+        "log_transition_dynamics": log_transition_dynamics,
+    }
+
+
+@jax.jit
+def compute_transition_posterior_prob_latent(log_accumulated_joint_total):
+    """4-key dict for the latent-only model
+    (reference decoder_latentonly.py:226-248)."""
+    log_joint_latent = log_accumulated_joint_total - logsumexp(
+        log_accumulated_joint_total
+    )
+    log_transition_latent = log_joint_latent - logsumexp(
+        log_joint_latent, axis=1, keepdims=True
+    )
+    return {
+        "p_joint_latent": jnp.exp(log_joint_latent),
+        "p_transition_latent": jnp.exp(log_transition_latent),
+        "log_joint_latent": log_joint_latent,
+        "log_transition_latent": log_transition_latent,
+    }

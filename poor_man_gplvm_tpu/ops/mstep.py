@@ -1,0 +1,173 @@
+"""M-step: sufficient statistics, tuning links, objectives, optimizers.
+
+TPU-native equivalent of the reference M-step layer
+(reference: poor_man_gplvm/fit_tuning_helper.py).
+
+The EM M-step operates on *grouped* sufficient statistics
+(posterior-weighted counts ``y_weighted`` (L, N) and posterior-weighted
+occupancy ``t_weighted`` (L,)), so its cost is independent of T.  The
+statistics themselves are one (T, L)^T @ (T, N) matmul.
+
+The Poisson objective deliberately uses the grouped form
+``sum xlogy(y_w, f) - f * t_w`` and NOT ``poisson.logpmf`` — the grouped
+expectation of the log joint (reference fit_tuning_helper.py:79).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from poor_man_gplvm_tpu.ops.emissions import PRECISION
+from jax import tree_util
+from jax.scipy.special import xlogy
+from jax.scipy.stats import norm
+
+__all__ = [
+    "get_tuning_linear",
+    "get_tuning_softplus",
+    "get_statistics",
+    "gaussian_m_step_analytic",
+    "poisson_m_step_objective",
+    "poisson_m_step_objective_smoothness",
+    "make_adam_runner",
+    "tree_l2_norm",
+]
+
+
+@jax.jit
+def get_tuning_linear(params, basis):
+    """tuning = basis @ params; params: (n_basis, N), basis: (L, n_basis)."""
+    return basis.dot(params)
+
+
+@jax.jit
+def get_tuning_softplus(params, basis):
+    """softplus link for nonnegative Poisson rates."""
+    return jax.nn.softplus(get_tuning_linear(params, basis))
+
+
+@jax.jit
+def get_statistics(log_posterior_probs, y):
+    """Posterior-weighted observation and occupancy per latent bin
+    (reference fit_tuning_helper.py:28-42).
+
+    Returns (y_weighted (L, N), t_weighted (L,))."""
+    posterior_probs = jnp.exp(log_posterior_probs)
+    y_weighted = jnp.matmul(posterior_probs.T, y, precision=PRECISION)
+    t_weighted = posterior_probs.sum(axis=0)
+    return y_weighted, t_weighted
+
+
+@jax.jit
+def gaussian_m_step_analytic(hyperparam, basis_mat, y_weighted, t_weighted):
+    """Closed-form ridge solve for Gaussian emissions
+    (reference fit_tuning_helper.py:44-61):
+    ``w = (B^T D B / s^2 + I / tau^2)^{-1} B^T y_w / s^2``."""
+    n_basis = basis_mat.shape[1]
+    noise_var = hyperparam["noise_std"] ** 2
+    param_prior_std = hyperparam["param_prior_std"]
+    gram = jnp.einsum("qd,q,qb->db", basis_mat, t_weighted, basis_mat)
+    H = gram / noise_var + jnp.eye(n_basis) / (param_prior_std**2)
+    rhs = basis_mat.T @ y_weighted / noise_var
+    return jnp.linalg.solve(H, rhs)
+
+
+def poisson_m_step_objective(param, hyperparam, basis_mat, y_weighted, t_weighted):
+    """Negative expected log joint on grouped statistics + Gaussian prior
+    (reference fit_tuning_helper.py:63-81)."""
+    param_prior_std = hyperparam["param_prior_std"]
+    pf_hat = get_tuning_softplus(param, basis_mat)  # (L, N)
+    norm_term = pf_hat * t_weighted[:, None]
+    fit_term = xlogy(y_weighted, pf_hat + 1e-20)
+    log_likelihood = jnp.sum(fit_term - norm_term)
+    log_prior = norm.logpdf(param, 0.0, param_prior_std).sum()
+    return -log_likelihood - log_prior
+
+
+def poisson_m_step_objective_smoothness(
+    param, hyperparam, basis_mat, y_weighted, t_weighted
+):
+    """Poisson objective plus a squared-second-finite-difference roughness
+    penalty on the tuning curves (reference fit_tuning_helper.py:83-119)."""
+    param_prior_std = hyperparam["param_prior_std"]
+    smoothness_penalty = hyperparam["smoothness_penalty"]
+    tuning = get_tuning_softplus(param, basis_mat)
+    second_diff = tuning[2:] - 2.0 * tuning[1:-1] + tuning[:-2]
+    roughness_term = smoothness_penalty * jnp.sum(second_diff**2)
+    norm_term = tuning * t_weighted[:, None]
+    fit_term = xlogy(y_weighted, tuning + 1e-20)
+    log_likelihood = jnp.sum(fit_term - norm_term)
+    log_prior = norm.logpdf(param, 0.0, param_prior_std).sum()
+    return -log_likelihood - log_prior + roughness_term
+
+
+def tree_l2_norm(tree_x, squared=False):
+    """L2 norm across a pytree (reference fit_tuning_helper.py:199-205)."""
+    squared_tree = tree_util.tree_map(lambda leaf: jnp.sum(jnp.square(leaf)), tree_x)
+    sqnorm = tree_util.tree_reduce(jnp.add, squared_tree)
+    return sqnorm if squared else jnp.sqrt(sqnorm)
+
+
+def make_adam_runner(fun, step_size, maxiter=1000, tol=1e-6):
+    """jit'd while-loop Adam with the reference's stopping rule
+    (reference fit_tuning_helper.py:124-196): run at least 5 warmup
+    iterations, stop when the relative loss change drops below ``tol`` or at
+    ``maxiter - 1``.  Loss/error histories are pre-allocated at ``maxiter``
+    (trimmed host-side by callers for shape stability).
+
+    Returns ``(run_fn, opt_init_fn)``; ``run_fn(init_params, opt_state,
+    *args)`` -> dict with params / opt_state / n_iter / final_loss /
+    final_error / loss_history / error_history.  The optimizer state is
+    threaded across EM iterations by callers (reference core.py:316-326)."""
+    opt = optax.adam(step_size)
+
+    @jax.jit
+    def run(init_params, opt_state, *args):
+        params = init_params
+        loss, grads = jax.value_and_grad(fun)(params, *args)
+        error = tree_l2_norm(grads)
+
+        loss_history = jnp.zeros(maxiter).at[0].set(loss)
+        error_history = jnp.zeros(maxiter).at[0].set(error)
+        carry = (0, params, opt_state, error, loss, loss, loss_history, error_history)
+
+        def cond_fun(c):
+            i, _, _, _, loss, loss_prev, _, _ = c
+            min_iters = 5
+            rel_change = jnp.abs(loss - loss_prev) / jnp.maximum(jnp.abs(loss), 1e-8)
+            return (i < (maxiter - 1)) & ((i < min_iters) | (rel_change > tol))
+
+        def body_fun(c):
+            i, params, opt_state, _, loss, _, loss_hist, err_hist = c
+            new_loss, grads = jax.value_and_grad(fun)(params, *args)
+            updates, new_opt_state = opt.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            new_error = tree_l2_norm(grads)
+            new_i = i + 1
+            return (
+                new_i,
+                new_params,
+                new_opt_state,
+                new_error,
+                new_loss,
+                loss,
+                loss_hist.at[new_i].set(new_loss),
+                err_hist.at[new_i].set(new_error),
+            )
+
+        i, params, opt_state, error, loss, _, loss_history, error_history = (
+            jax.lax.while_loop(cond_fun, body_fun, carry)
+        )
+        return {
+            "params": params,
+            "opt_state": opt_state,
+            "n_iter": i + 1,
+            "final_loss": loss,
+            "final_error": error,
+            "loss_history": loss_history,
+            "error_history": error_history,
+        }
+
+    return run, opt.init

@@ -1,0 +1,115 @@
+"""Emission LL: matmul form vs direct elementwise reference formula."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.scipy.special import gammaln
+from scipy.stats import norm
+
+from poor_man_gplvm_tpu.ops import emissions
+
+
+def _direct_poisson(y, tuning, ma_neuron, ma_latent, dt=1.0):
+    """Reference decoder.py:31-48 formula, elementwise in float64."""
+    y = np.asarray(y, dtype=np.float64)
+    tuning = np.asarray(tuning, dtype=np.float64)
+    dt = np.broadcast_to(np.asarray(dt, dtype=np.float64), (y.shape[0],))
+    ma = np.broadcast_to(np.asarray(ma_neuron, dtype=np.float64), y.shape)
+    T, N = y.shape
+    L = tuning.shape[0]
+    out = np.zeros((T, L))
+    for t in range(T):
+        lam = tuning * dt[t] + 1e-20
+        ll = (
+            np.where(y[t] > 0, y[t] * np.log(lam), 0.0)
+            - lam
+            - np.asarray(gammaln(y[t] + 1.0))
+        )
+        out[t] = (ll * ma[t][None, :]).sum(axis=1)
+    return np.where(np.asarray(ma_latent, dtype=bool)[None, :], out, -1e20)
+
+
+def _direct_gaussian(y, tuning, noise_std, ma_neuron, ma_latent, dt=1.0):
+    y = np.asarray(y, dtype=np.float64)
+    tuning = np.asarray(tuning, dtype=np.float64)
+    dt = np.broadcast_to(np.asarray(dt, dtype=np.float64), (y.shape[0],))
+    ma = np.broadcast_to(np.asarray(ma_neuron, dtype=np.float64), y.shape)
+    T = y.shape[0]
+    L = tuning.shape[0]
+    out = np.zeros((T, L))
+    for t in range(T):
+        mu = tuning * dt[t]
+        ll = norm.logpdf(y[t][None, :], mu, noise_std)
+        out[t] = (ll * ma[t][None, :]).sum(axis=1)
+    return np.where(np.asarray(ma_latent, dtype=bool)[None, :], out, -1e20)
+
+
+@pytest.fixture
+def setup():
+    rng = np.random.default_rng(0)
+    T, N, L = 13, 7, 5
+    y = rng.poisson(2.0, size=(T, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    ma_neuron = np.ones(N, dtype=np.float32)
+    ma_neuron[2] = 0.0
+    ma_latent = np.ones(L, dtype=np.float32)
+    ma_latent[3] = 0.0
+    return y, tuning, ma_neuron, ma_latent
+
+
+def test_poisson_matches_direct(setup):
+    y, tuning, ma_neuron, ma_latent = setup
+    got = emissions.poisson_loglik(y, tuning, ma_neuron, ma_latent)
+    want = _direct_poisson(y, tuning, ma_neuron, ma_latent)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=1e-4)
+
+
+def test_poisson_spatiotemporal_mask(setup):
+    y, tuning, _, ma_latent = setup
+    rng = np.random.default_rng(1)
+    ma2 = (rng.random(y.shape) > 0.3).astype(np.float32)
+    got = emissions.poisson_loglik(y, tuning, ma2, ma_latent)
+    want = _direct_poisson(y, tuning, ma2, ma_latent)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=1e-4)
+
+
+def test_poisson_changing_dt(setup):
+    y, tuning, ma_neuron, ma_latent = setup
+    dt_l = np.linspace(0.5, 2.0, y.shape[0]).astype(np.float32)
+    got = emissions.poisson_loglik(y, tuning, ma_neuron, ma_latent, dt=dt_l)
+    want = _direct_poisson(y, tuning, ma_neuron, ma_latent, dt=dt_l)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=1e-4)
+
+
+def test_gaussian_matches_direct(setup):
+    y, tuning, ma_neuron, ma_latent = setup
+    y = y + 0.3
+    got = emissions.gaussian_loglik(y, tuning, 0.7, ma_neuron, ma_latent)
+    want = _direct_gaussian(y, tuning, 0.7, ma_neuron, ma_latent)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-3)
+
+
+def test_naive_bayes_normalization(setup):
+    y, tuning, ma_neuron, ma_latent = setup
+    log_post, lml_l, lml, ll = emissions.get_naive_bayes_ma(
+        y, tuning, {}, np.broadcast_to(ma_neuron, y.shape), ma_latent
+    )
+    post = np.exp(np.asarray(log_post))
+    np.testing.assert_allclose(post.sum(axis=1), 1.0, rtol=1e-5)
+    assert np.allclose(float(lml), np.asarray(lml_l).sum(), rtol=1e-6)
+    # masked latent gets ~zero posterior
+    assert post[:, 3].max() < 1e-30
+
+
+def test_naive_bayes_chunk_invariance(setup):
+    y, tuning, ma_neuron, ma_latent = setup
+    outs = {}
+    for chunk in (4, 13, 1000):
+        outs[chunk] = emissions.get_naive_bayes_ma_chunk(
+            y, tuning, {}, ma_neuron, ma_latent, n_time_per_chunk=chunk
+        )
+    for chunk in (4, 1000):
+        for a, b in zip(outs[chunk], outs[13]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-5
+            )

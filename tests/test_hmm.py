@@ -1,0 +1,170 @@
+"""HMM engines vs brute-force float64 oracle; chunk invariance; engine
+cross-validation (prob vs log)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from poor_man_gplvm_tpu.ops import emissions, hmm, kernels as gpk
+from tests.oracle import dense_acc_to_joint, dense_forward_backward, joint_to_dense
+
+T, N, L = 17, 6, 5
+N_DYN = 2
+
+
+@pytest.fixture
+def joint_setup():
+    rng = np.random.default_rng(42)
+    y = rng.poisson(1.5, size=(T, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    ma_neuron = np.ones(N, dtype=np.float32)
+    ma_latent = np.ones(L, dtype=np.float32)
+    lat_l, log_lat_l, dyn, log_dyn = gpk.create_transition_prob_1d(
+        jnp.arange(L), jnp.arange(N_DYN), movement_variance=1.3,
+        p_move_to_jump=0.05, p_jump_to_move=0.08,
+    )
+    trans = hmm.JointTransition(dyn, lat_l, log_dyn, log_lat_l)
+    ll = np.asarray(
+        emissions.poisson_loglik(y, tuning, ma_neuron, ma_latent)
+    )
+    return y, tuning, ma_neuron, ma_latent, trans, ll
+
+
+@pytest.fixture
+def latent_setup():
+    rng = np.random.default_rng(7)
+    y = rng.poisson(1.5, size=(T, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    ma_neuron = np.ones(N, dtype=np.float32)
+    ma_latent = np.ones(L, dtype=np.float32)
+    kern, log_kern = gpk.create_transition_prob_latent_1d(
+        jnp.arange(L), movement_variance=1.1
+    )
+    trans = hmm.LatentTransition(kern, log_kern)
+    ll = np.asarray(emissions.poisson_loglik(y, tuning, ma_neuron, ma_latent))
+    return y, tuning, ma_neuron, ma_latent, trans, ll
+
+
+def _run(y, tuning, ma_neuron, ma_latent, trans, engine, chunk=10000, scale=1.0):
+    return hmm.smooth_combined_chunked(
+        y, tuning, {}, trans, ma_neuron, ma_latent,
+        likelihood_scale=scale, n_time_per_chunk=chunk, engine=engine,
+    )
+
+
+@pytest.mark.parametrize("engine", ["prob", "log"])
+def test_joint_vs_oracle(joint_setup, engine):
+    y, tuning, ma_neuron, ma_latent, trans, ll = joint_setup
+    M = joint_to_dense(trans.Tdyn, trans.Tlat)
+    pi = np.full(N_DYN * L, 1.0 / (N_DYN * L))
+    ll_dense = np.tile(ll, (1, N_DYN)).astype(np.float64)  # (d, l) flat index
+    oracle = dense_forward_backward(ll_dense, M, pi)
+
+    smooth, lml, filt, ratios, acc, ll_out = _run(
+        y, tuning, ma_neuron, ma_latent, trans, engine
+    )
+    np.testing.assert_allclose(np.asarray(ll_out), ll, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(float(lml), oracle["log_marginal"], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ratios), oracle["log_marginal_ratios"], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.exp(np.asarray(filt)).reshape(T, -1), oracle["filtered"],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.exp(np.asarray(smooth)).reshape(T, -1), oracle["smoothed"],
+        rtol=1e-3, atol=1e-5,
+    )
+    want_acc = dense_acc_to_joint(oracle["acc_joint"], N_DYN, L)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(acc)), want_acc, rtol=1e-3, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("engine", ["prob", "log"])
+def test_latent_vs_oracle(latent_setup, engine):
+    y, tuning, ma_neuron, ma_latent, trans, ll = latent_setup
+    M = np.asarray(trans.T, dtype=np.float64)
+    pi = np.full(L, 1.0 / L)
+    oracle = dense_forward_backward(ll.astype(np.float64), M, pi)
+
+    smooth, lml, filt, ratios, acc, _ = _run(
+        y, tuning, ma_neuron, ma_latent, trans, engine
+    )
+    np.testing.assert_allclose(float(lml), oracle["log_marginal"], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(smooth)), oracle["smoothed"], rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.exp(np.asarray(acc)), oracle["acc_joint"], rtol=1e-3, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("engine", ["prob", "log"])
+@pytest.mark.parametrize("chunk", [3, 7, T, 10000])
+def test_chunk_invariance_joint(joint_setup, engine, chunk):
+    y, tuning, ma_neuron, ma_latent, trans, _ = joint_setup
+    base = _run(y, tuning, ma_neuron, ma_latent, trans, engine, chunk=10000)
+    out = _run(y, tuning, ma_neuron, ma_latent, trans, engine, chunk=chunk)
+    np.testing.assert_allclose(float(out[1]), float(base[1]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(out[0])), np.exp(np.asarray(base[0])),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.exp(np.asarray(out[4])), np.exp(np.asarray(base[4])),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("chunk", [5, 10000])
+def test_engines_agree_joint(joint_setup, chunk):
+    y, tuning, ma_neuron, ma_latent, trans, _ = joint_setup
+    p = _run(y, tuning, ma_neuron, ma_latent, trans, "prob", chunk=chunk)
+    l = _run(y, tuning, ma_neuron, ma_latent, trans, "log", chunk=chunk)
+    np.testing.assert_allclose(float(p[1]), float(l[1]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(p[0])), np.exp(np.asarray(l[0])), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_latent_mask(joint_setup):
+    y, tuning, ma_neuron, _, trans, _ = joint_setup
+    ma_latent = np.ones(L, dtype=np.float32)
+    ma_latent[1] = 0.0
+    smooth, lml, filt, _, _, _ = _run(y, tuning, ma_neuron, ma_latent, trans, "prob")
+    post = np.exp(np.asarray(smooth))
+    assert post[:, :, 1].max() < 1e-20
+    np.testing.assert_allclose(post.sum(axis=(1, 2)), 1.0, rtol=1e-4)
+
+
+def test_likelihood_scale(joint_setup):
+    y, tuning, ma_neuron, ma_latent, trans, ll = joint_setup
+    M = joint_to_dense(trans.Tdyn, trans.Tlat)
+    pi = np.full(N_DYN * L, 1.0 / (N_DYN * L))
+    ll_dense = np.tile(ll, (1, N_DYN)).astype(np.float64)
+    oracle = dense_forward_backward(ll_dense, M, pi, likelihood_scale=2.5)
+    _, lml, _, _, _, _ = _run(
+        y, tuning, ma_neuron, ma_latent, trans, "prob", scale=2.5
+    )
+    np.testing.assert_allclose(float(lml), oracle["log_marginal"], rtol=1e-5)
+
+
+def test_transition_posterior_extraction(joint_setup):
+    y, tuning, ma_neuron, ma_latent, trans, _ = joint_setup
+    *_, acc, _ = _run(y, tuning, ma_neuron, ma_latent, trans, "prob")
+    res = hmm.compute_transition_posterior_prob(acc)
+    assert set(res.keys()) == {
+        "p_joint_full", "p_joint_latent", "p_joint_dynamics",
+        "p_transition_full", "p_transition_latent", "p_transition_dynamics",
+        "log_joint_full", "log_joint_latent", "log_joint_dynamics",
+        "log_transition_full", "log_transition_latent", "log_transition_dynamics",
+    }
+    np.testing.assert_allclose(np.asarray(res["p_joint_full"]).sum(), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(res["p_transition_latent"]).sum(axis=1), 1.0, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["p_transition_dynamics"]).sum(axis=1), 1.0, rtol=1e-5
+    )

@@ -1,0 +1,217 @@
+"""End-to-end model tests: the README-quickstart round-trip
+(sample -> fit_em -> decode_latent -> decode_latent_naive_bayes), EM
+log-marginal improvement, result-dict contracts, pickling, engine parity.
+Mirrors the reference's de-facto integration test (reference README.md:99-169).
+"""
+
+import pickle
+
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+import poor_man_gplvm_tpu as pmg
+
+T = 300
+N_NEURON = 12
+N_LATENT = 20
+
+EM_RES_KEYS_JUMP = {
+    "log_posterior_all_saved", "log_posterior_init", "params_saved",
+    "tuning_saved", "iter_saved", "params", "tuning", "log_posterior_final",
+    "log_marginal", "log_marginal_l", "log_marginal_saved", "posterior",
+    "posterior_latent_marg", "posterior_dynamics_marg", "m_step_res_l",
+}
+DECODE_KEYS_JUMP_BASE = {
+    "log_posterior_all", "log_marginal_final", "posterior_all",
+    "posterior_latent_marg", "posterior_dynamics_marg",
+    "log_one_step_predictive_marginals_all", "log_likelihood_all",
+}
+
+
+@pytest.fixture(scope="module")
+def sim_jump():
+    model = pmg.PoissonGPLVMJump1D(
+        N_NEURON, n_latent_bin=N_LATENT, movement_variance=1, tuning_lengthscale=3.0
+    )
+    state_l, spk = model.sample(T, key=jr.PRNGKey(5))
+    return model, state_l, spk
+
+
+def test_quickstart_jump(sim_jump):
+    model, state_l, spk = sim_jump
+    assert state_l.shape == (T, 2)
+    assert spk.shape == (T, N_NEURON)
+
+    em_res = model.fit_em(spk, key=jr.PRNGKey(3), n_iter=5, verboase=False)
+    assert set(em_res.keys()) == EM_RES_KEYS_JUMP
+
+    lml = np.asarray([float(v) for v in em_res["log_marginal_l"]])
+    # EM should improve the log marginal overall
+    assert lml[-1] > lml[0]
+
+    decode_res = model.decode_latent(spk)
+    assert DECODE_KEYS_JUMP_BASE.issubset(decode_res.keys())
+    assert "p_transition_latent" in decode_res
+    post = decode_res["posterior_all"]
+    assert post.shape == (T, 2, N_LATENT)
+    np.testing.assert_allclose(post.sum(axis=(1, 2)), 1.0, rtol=1e-4)
+    assert decode_res["posterior_latent_marg"].shape == (T, N_LATENT)
+    assert decode_res["posterior_dynamics_marg"].shape == (T, 2)
+
+    nb_res = model.decode_latent_naive_bayes(spk)
+    assert nb_res["posterior_latent"].shape == (T, N_LATENT)
+    np.testing.assert_allclose(
+        nb_res["posterior_latent"].sum(axis=1), 1.0, rtol=1e-4
+    )
+
+
+def test_decoding_recovers_latent(sim_jump):
+    model, state_l, spk = sim_jump
+    em_res = model.fit_em(spk, key=jr.PRNGKey(3), n_iter=8, verboase=False)
+    decode_res = model.decode_latent(spk)
+    map_latent = np.asarray(decode_res["posterior_latent_marg"]).argmax(axis=1)
+    true_latent = np.asarray(state_l[:, 1])
+    # latent is identifiable only up to relabeling; check rank correlation
+    # magnitude of MAP vs truth is materially above chance
+    rho = np.corrcoef(map_latent, true_latent)[0, 1]
+    assert abs(rho) > 0.5
+
+
+def test_engine_parity_fit(sim_jump):
+    _, _, spk = sim_jump
+    lmls = {}
+    for engine in ("prob", "log"):
+        model = pmg.PoissonGPLVMJump1D(
+            N_NEURON, n_latent_bin=N_LATENT, movement_variance=1,
+            tuning_lengthscale=3.0, inference_engine=engine,
+        )
+        em = model.fit_em(spk, key=jr.PRNGKey(3), n_iter=3, verboase=False)
+        lmls[engine] = np.asarray([float(v) for v in em["log_marginal_l"]])
+    np.testing.assert_allclose(lmls["prob"], lmls["log"], rtol=1e-5)
+
+
+def test_chunked_fit_matches_unchunked(sim_jump):
+    _, _, spk = sim_jump
+
+    def fresh():
+        return pmg.PoissonGPLVMJump1D(
+            N_NEURON, n_latent_bin=N_LATENT, movement_variance=1,
+            tuning_lengthscale=3.0,
+        )
+
+    em_a = fresh().fit_em(
+        spk, key=jr.PRNGKey(3), n_iter=3, n_time_per_chunk=10000, verboase=False
+    )
+    em_b = fresh().fit_em(
+        spk, key=jr.PRNGKey(3), n_iter=3, n_time_per_chunk=77, verboase=False
+    )
+    np.testing.assert_allclose(
+        [float(v) for v in em_a["log_marginal_l"]],
+        [float(v) for v in em_b["log_marginal_l"]],
+        rtol=1e-5,
+    )
+
+
+def test_gaussian_jump_roundtrip():
+    model = pmg.GaussianGPLVMJump1D(
+        N_NEURON, n_latent_bin=N_LATENT, noise_std=0.5, tuning_lengthscale=3.0
+    )
+    _, y = model.sample(T, key=jr.PRNGKey(1))
+    em_res = model.fit_em(y, key=jr.PRNGKey(2), n_iter=4, verboase=False)
+    lml = [float(v) for v in em_res["log_marginal_l"]]
+    assert lml[-1] > lml[0]
+    res = model.decode_latent(y)
+    assert res["posterior_all"].shape == (T, 2, N_LATENT)
+
+
+def test_poisson_latentonly_roundtrip():
+    model = pmg.PoissonGPLVM1D(
+        N_NEURON, n_latent_bin=N_LATENT, tuning_lengthscale=3.0
+    )
+    _, y = model.sample(T, key=jr.PRNGKey(1))
+    em_res = model.fit_em(y, key=jr.PRNGKey(2), n_iter=4, verboase=False)
+    assert "posterior_latent_marg" not in em_res
+    assert em_res["posterior"].shape == (T, N_LATENT)
+    lml = [float(v) for v in em_res["log_marginal_l"]]
+    assert lml[-1] > lml[0]
+    res = model.decode_latent(y)
+    assert res["posterior_all"].shape == (T, N_LATENT)
+    assert "p_transition_latent" in res
+    assert "p_transition_dynamics" not in res
+
+
+def test_gaussian_latentonly_roundtrip():
+    model = pmg.GaussianGPLVM1D(
+        N_NEURON, n_latent_bin=N_LATENT, noise_std=0.4, tuning_lengthscale=3.0
+    )
+    _, y = model.sample(T, key=jr.PRNGKey(1))
+    em_res = model.fit_em(y, key=jr.PRNGKey(2), n_iter=3, verboase=False)
+    lml = [float(v) for v in em_res["log_marginal_l"]]
+    assert lml[-1] > lml[0]
+
+
+def test_masks_and_downsampled_lml(sim_jump):
+    model, _, spk = sim_jump
+    ma_latent = np.ones(N_LATENT, dtype=np.float32)
+    ma_latent[: N_LATENT // 2] = 0.0
+    res = model.decode_latent(spk, ma_latent=jnp.asarray(ma_latent))
+    post = res["posterior_all"]
+    assert post[:, :, : N_LATENT // 2].max() < 1e-20
+    full = model.decode_latent(spk)
+    assert res["log_marginal_final"] < full["log_marginal_final"]
+
+    ma2 = np.ones((T, N_NEURON), dtype=np.float32)
+    ma2[: T // 2] = 0.0  # spatio-temporal mask
+    res2 = model.decode_latent(spk, ma_neuron=jnp.asarray(ma2))
+    assert np.isfinite(res2["log_marginal_final"])
+
+
+def test_predict_expected_rate(sim_jump):
+    model, _, spk = sim_jump
+    res = model.decode_latent(spk)
+    rate = model.predict_expected_rate(np.asarray(res["posterior_latent_marg"]))
+    assert rate.shape == (T, N_NEURON)
+    assert np.all(np.asarray(rate) >= 0)
+
+
+def test_pickle_roundtrip(sim_jump):
+    model, _, spk = sim_jump
+    model.fit_em(spk, n_iter=2, verboase=False)
+    blob = pickle.dumps(model)
+    model2 = pickle.loads(blob)
+    assert model2.adam_runner is None
+    np.testing.assert_allclose(
+        np.asarray(model2.tuning), np.asarray(model.tuning)
+    )
+    # refitting after unpickle rebuilds the runner
+    em = model2.fit_em(spk, n_iter=1, verboase=False)
+    assert np.isfinite(float(em["log_marginal"]))
+
+
+def test_warm_start_posterior_init(sim_jump):
+    model, _, spk = sim_jump
+    em1 = model.fit_em(spk, n_iter=2, verboase=False)
+    em2 = model.fit_em(
+        spk,
+        n_iter=1,
+        log_posterior_init=jnp.asarray(
+            np.log(np.asarray(em1["posterior"]).sum(axis=1))
+        ),
+        verboase=False,
+    )
+    assert float(em2["log_marginal"]) >= float(em1["log_marginal_l"][0])
+
+
+def test_tsdframe_passthrough(sim_jump):
+    model, _, spk = sim_jump
+    from poor_man_gplvm_tpu.utils import compat
+
+    t_l = np.arange(T) * 0.01
+    y_tsd = compat.tsdframe(d=np.asarray(spk), t=t_l)
+    res = model.decode_latent(y_tsd)
+    assert compat.is_tsdframe(res["posterior_latent_marg"])
+    np.testing.assert_allclose(res["posterior_latent_marg"].t, t_l)
+    em = model.fit_em(y_tsd, n_iter=1, verboase=False)
+    assert compat.is_tsdframe(em["posterior_latent_marg"])
