@@ -1,0 +1,85 @@
+"""Headline benchmark: fit_em sec/EM-iter at T=100k x L=100 bins x N=100.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is the speedup over the reference implementation measured on
+this machine's CPU (scripts/measure_reference_baseline.py writes
+BASELINE_MEASURED.json; the reference publishes no numbers of its own —
+BASELINE.md).  Runs on whatever platform jax selects (TPU under the driver).
+
+Extra diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.random as jr
+
+    import poor_man_gplvm_tpu as pmg
+
+    T, L, N = 100_000, 100, 100
+    n_timed_iters = 3
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    y = rng.poisson(1.0, size=(T, N)).astype(np.float32)
+
+    model = pmg.PoissonGPLVMJump1D(
+        N, n_latent_bin=L, movement_variance=1, tuning_lengthscale=10.0
+    )
+    # warmup: compile all programs
+    t0 = time.time()
+    model.fit_em(y, key=jr.PRNGKey(3), n_iter=1, verboase=False)
+    log(f"warmup (compile) {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters, verboase=False)
+    sec_per_iter = (time.time() - t0) / n_timed_iters
+    log(f"fit_em: {sec_per_iter:.3f} s/iter at T={T}, L={L}, N={N}")
+
+    # decode throughput (secondary diagnostic)
+    y10k = y[:10_000]
+    model.decode_latent(y10k)
+    t0 = time.time()
+    model.decode_latent(y10k)
+    decode_sps = 10_000 / (time.time() - t0)
+    log(f"decode_latent: {decode_sps:.0f} timesteps/s")
+
+    vs_baseline = None
+    baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        ref = base.get(f"fit_em_T{T}_L{L}_N{N}_sec_per_iter")
+        if ref:
+            vs_baseline = ref / sec_per_iter
+            log(f"reference CPU: {ref:.3f} s/iter -> speedup {vs_baseline:.1f}x")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"fit_em_sec_per_EM_iter_T{T}_L{L}_N{N}",
+                "value": round(sec_per_iter, 4),
+                "unit": "s/iter",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

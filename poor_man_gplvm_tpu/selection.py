@@ -1,0 +1,460 @@
+"""Model selection: hyperparameter grids, multi-chain fitting, evaluation.
+
+TPU-native equivalent of the reference selection subsystem
+(reference: poor_man_gplvm/model_selection_helper.py).  API and metric
+definitions match; the per-(config x chain) fan-out can additionally run as
+one SPMD program over a device mesh (see poor_man_gplvm_tpu.parallel.sweep).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pandas as pd
+
+from poor_man_gplvm_tpu.models.jump1d import (
+    GaussianGPLVMJump1D,
+    PoissonGPLVMJump1D,
+)
+from poor_man_gplvm_tpu.models.latent1d import GaussianGPLVM1D, PoissonGPLVM1D
+
+__all__ = [
+    "model_class_dict",
+    "default_fit_kwargs",
+    "generate_hyperparam_grid",
+    "fit_model_one_config",
+    "evaluate_model_one_config",
+    "model_selection_one_split",
+    "get_downsampled_lml",
+    "get_jump_consensus",
+    "get_jump_consensus_shuffle",
+    "get_lml_test_history",
+]
+
+model_class_dict = {
+    "poisson": PoissonGPLVMJump1D,
+    "gaussian": GaussianGPLVMJump1D,
+    "poisson_latentonly": PoissonGPLVM1D,
+    "gaussian_latentonly": GaussianGPLVM1D,
+}
+
+default_fit_kwargs = {
+    "n_iter": 20,
+    "log_posterior_init": None,
+    "n_time_per_chunk": 10000,
+    "dt": 1.0,
+    "likelihood_scale": 1.0,
+    "save_every": None,
+    "posterior_init_kwargs": {"random_scale": 0.1},
+}
+
+
+def generate_hyperparam_grid(hyperparam_ranges: Dict[str, List]):
+    """Dict of lists -> list of all combinations + DataFrame
+    (reference model_selection_helper.py:18-33)."""
+    keys = list(hyperparam_ranges.keys())
+    combos = itertools.product(*[hyperparam_ranges[k] for k in keys])
+    hyper_grid_l = [dict(zip(keys, combo)) for combo in combos]
+    hyper_grid_df = pd.DataFrame(hyper_grid_l)
+    return hyper_grid_l, hyper_grid_df
+
+
+def fit_model_one_config(
+    config, y_train, key=None, fit_kwargs=default_fit_kwargs,
+    model_class_str="poisson", n_repeat=1,
+):
+    """Fit ``n_repeat`` chains of one configuration
+    (reference model_selection_helper.py:35-60)."""
+    key = jr.PRNGKey(0) if key is None else key
+    if model_class_str not in model_class_dict:
+        raise ValueError(f"Invalid model class: {model_class_str}")
+    model_class = model_class_dict[model_class_str]
+    key_l = key if isinstance(key, list) else jr.split(key, n_repeat)
+    model_fit_l, em_res_l = [], []
+    for k in key_l:
+        model_fit = model_class(n_neuron=y_train.shape[1], **config)
+        em_res = model_fit.fit_em(y_train, hyperparam={}, key=k, **fit_kwargs)
+        em_res_l.append(em_res)
+        model_fit_l.append(model_fit)
+    return model_fit_l, em_res_l
+
+
+def evaluate_model_one_config(
+    model_fit_l,
+    y_test,
+    key=None,
+    n_time_per_chunk=10000,
+    latent_downsample_frac=(0.2, 0.4, 0.6, 0.8),
+    downsample_n_repeat=10,
+    metric_type_l=(
+        "log_marginal_test",
+        "log_one_step_predictive_marginal_test",
+        "downsampled_lml",
+        "jump_consensus",
+    ),
+    jump_dynamics_index=1,
+    jump_consensus_window_size=5,
+    jump_consensus_jump_p_thresh=0.4,
+    jump_consensus_consensus_thresh=0.8,
+):
+    """Per-chain evaluation metrics + best chain per metric
+    (reference model_selection_helper.py:62-143).
+
+    The overall metric is the mean of the downsampled-LML metrics
+    (reference model_selection_helper.py:130-138)."""
+    key = jr.PRNGKey(1) if key is None else key
+    latent_downsample_frac = list(latent_downsample_frac)
+    metric_type_l = list(metric_type_l)
+    model_eval_result = {}
+
+    decoding_res_l = [
+        m.decode_latent(y_test, n_time_per_chunk=n_time_per_chunk)
+        for m in model_fit_l
+    ]
+
+    if "log_marginal_test" in metric_type_l:
+        vals = np.array([d["log_marginal_final"] for d in decoding_res_l])
+        model_eval_result["log_marginal_test"] = {
+            "value_per_fit": vals, "best_value": None, "best_index": None,
+        }
+
+    if "log_one_step_predictive_marginal_test" in metric_type_l:
+        vals = np.array(
+            [
+                float(np.asarray(d["log_one_step_predictive_marginals_all"]).sum())
+                for d in decoding_res_l
+            ]
+        )
+        model_eval_result["log_one_step_predictive_marginal_test"] = {
+            "value_per_fit": vals, "best_value": None, "best_index": None,
+        }
+
+    if "downsampled_lml" in metric_type_l:
+        for frac in latent_downsample_frac:
+            vals = []
+            for m in model_fit_l:
+                res = get_downsampled_lml(
+                    m, y_test, downsample_frac=frac,
+                    n_repeat=downsample_n_repeat, key=key,
+                )
+                vals.append(res["value"])
+            model_eval_result[f"downsampled_lml_{frac}"] = {
+                "value_per_fit": np.array(vals),
+                "best_value": None, "best_index": None,
+            }
+
+    if "jump_consensus" in metric_type_l:
+        window_sizes = (
+            [jump_consensus_window_size]
+            if isinstance(jump_consensus_window_size, int)
+            else list(jump_consensus_window_size)
+        )
+        jump_p_all_chain = np.array(
+            [
+                np.asarray(d["posterior_dynamics_marg"])[:, jump_dynamics_index]
+                for d in decoding_res_l
+            ]
+        ).T  # n_time x n_chain
+        for ws in window_sizes:
+            name = (
+                "jump_consensus"
+                if isinstance(jump_consensus_window_size, int)
+                else f"jump_consensus_{ws}"
+            )
+            vals = []
+            for jump_p in jump_p_all_chain.T:
+                frac_consensus, _, _ = get_jump_consensus(
+                    jump_p, jump_p_all_chain, window_size=ws,
+                    jump_p_thresh=jump_consensus_jump_p_thresh,
+                    consensus_thresh=jump_consensus_consensus_thresh,
+                )
+                vals.append(frac_consensus)
+            model_eval_result[name] = {
+                "value_per_fit": np.array(vals),
+                "best_value": None, "best_index": None,
+            }
+
+    # overall = mean of downsampled-lml metrics
+    value_per_fit = np.zeros(len(model_fit_l))
+    for frac in latent_downsample_frac:
+        value_per_fit += model_eval_result[f"downsampled_lml_{frac}"][
+            "value_per_fit"
+        ]
+    value_per_fit /= len(latent_downsample_frac)
+    model_eval_result["metric_overall"] = {
+        "value_per_fit": value_per_fit, "best_value": None, "best_index": None,
+    }
+
+    for k in model_eval_result:
+        vals = model_eval_result[k]["value_per_fit"]
+        model_eval_result[k]["best_value"] = np.max(vals)
+        model_eval_result[k]["best_index"] = int(np.argmax(vals))
+    return model_eval_result
+
+
+def model_selection_one_split(
+    y,
+    hyperparam_dict,
+    train_index=None,
+    test_index=None,
+    test_frac=0.2,
+    key=None,
+    model_to_return_type="best_overall",
+    fit_kwargs=default_fit_kwargs,
+    model_class_str="poisson",
+    n_repeat=5,
+    latent_downsample_frac=(0.2, 0.4, 0.6, 0.8),
+    downsample_n_repeat=10,
+    metric_type_l=(
+        "log_marginal_test",
+        "log_one_step_predictive_marginal_test",
+        "downsampled_lml",
+        "jump_consensus",
+    ),
+    jump_dynamics_index=1,
+    jump_consensus_window_size=5,
+    jump_consensus_jump_p_thresh=0.4,
+    jump_consensus_consensus_thresh=0.8,
+    verbose=True,
+):
+    """Fit + evaluate all grid configs on one contiguous train/test split
+    (reference model_selection_helper.py:145-239)."""
+    key = jr.PRNGKey(0) if key is None else key
+    T, n_neuron = y.shape
+    metric_type_l = list(metric_type_l)
+
+    if "latentonly" in model_class_str:
+        metric_type_l = [m for m in metric_type_l if "jump" not in m]
+
+    if train_index is None:
+        train_index = slice(0, int(T * (1 - test_frac)))
+    if test_index is None:
+        test_index = slice(int(T * (1 - test_frac)), T)
+    y_train = jnp.array(y[train_index])
+    y_test = jnp.array(y[test_index])
+
+    hyperparam_grid_l, hyperparam_grid_df = generate_hyperparam_grid(
+        hyperparam_dict
+    )
+    model_eval_result_all_configs = {}
+
+    best_model, best_model_l, best_config = None, None, None
+    model_to_return_l = []
+    metric_overall_best = -np.inf
+
+    fit_kwargs = dict(fit_kwargs)
+    if fit_kwargs.get("log_posterior_init") is not None:
+        fit_kwargs["log_posterior_init"] = fit_kwargs["log_posterior_init"][
+            train_index
+        ]
+
+    for ii, param_dict in enumerate(hyperparam_grid_l):
+        if verbose:
+            print(f"== Config {ii + 1} of {len(hyperparam_grid_l)} ==")
+        key, _ = jr.split(key)
+        key_fit, key_eval = jr.split(key)
+
+        model_fit_l, em_res_l = fit_model_one_config(
+            param_dict, y_train, key=key_fit, fit_kwargs=fit_kwargs,
+            model_class_str=model_class_str, n_repeat=n_repeat,
+        )
+        model_eval_result = evaluate_model_one_config(
+            model_fit_l, y_test, key=key_eval,
+            latent_downsample_frac=latent_downsample_frac,
+            downsample_n_repeat=downsample_n_repeat,
+            metric_type_l=metric_type_l,
+            jump_dynamics_index=jump_dynamics_index,
+            jump_consensus_window_size=jump_consensus_window_size,
+            jump_consensus_jump_p_thresh=jump_consensus_jump_p_thresh,
+            jump_consensus_consensus_thresh=jump_consensus_consensus_thresh,
+        )
+        if not model_eval_result_all_configs:
+            for k in model_eval_result:
+                model_eval_result_all_configs[k + "_best_value"] = []
+                model_eval_result_all_configs[k + "_best_index"] = []
+        for k in model_eval_result:
+            model_eval_result_all_configs[k + "_best_value"].append(
+                model_eval_result[k]["best_value"]
+            )
+            model_eval_result_all_configs[k + "_best_index"].append(
+                model_eval_result[k]["best_index"]
+            )
+
+        current_best = model_eval_result["metric_overall"]["best_value"]
+        if current_best > metric_overall_best:
+            metric_overall_best = current_best
+            best_model = model_fit_l[
+                model_eval_result["metric_overall"]["best_index"]
+            ]
+            best_model_l = model_fit_l
+            best_config = param_dict
+
+        if model_to_return_type == "best_per_config":
+            model_to_return_l.append(
+                model_fit_l[model_eval_result["metric_overall"]["best_index"]]
+            )
+        elif model_to_return_type == "all":
+            model_to_return_l.append(model_fit_l)
+
+    if model_to_return_type == "best_overall":
+        model_to_return_l = [best_model]
+    elif model_to_return_type == "best_config":
+        model_to_return_l = [best_model_l]
+
+    model_eval_result_all_configs = pd.DataFrame(
+        model_eval_result_all_configs
+    ).join(hyperparam_grid_df)
+    return {
+        "model_to_return_l": model_to_return_l,
+        "best_config": best_config,
+        "best_model": best_model,
+        "best_model_l": best_model_l,
+        "model_eval_result_all_configs": model_eval_result_all_configs,
+        "hyperparam_grid_df": hyperparam_grid_df,
+        "hyperparam_tosweep_keys": hyperparam_grid_df.columns,
+    }
+
+
+def get_downsampled_lml(
+    model_fit, y_test, downsample_frac=0.2, n_repeat=10, key=None, **kwargs
+):
+    """Held-out LML under random latent masks keeping ``frac * L`` bins — a
+    complexity-penalty metric (reference model_selection_helper.py:243-260)."""
+    key = jr.PRNGKey(4) if key is None else key
+    key_l = jr.split(key, n_repeat)
+    n_latent_to_select = int(model_fit.n_latent_bin * downsample_frac)
+    lml_l = []
+    for k in key_l:
+        latent_mask = jnp.zeros(model_fit.n_latent_bin)
+        chosen = jr.choice(
+            k, model_fit.n_latent_bin, shape=(n_latent_to_select,), replace=False
+        )
+        latent_mask = latent_mask.at[chosen].set(1)
+        decoding_res = model_fit.decode_latent(
+            y_test, ma_latent=latent_mask, **kwargs
+        )
+        lml_l.append(decoding_res["log_marginal_final"])
+    return {"value": float(np.mean(lml_l)), "std": float(np.std(lml_l))}
+
+
+def get_jump_consensus(
+    jump_p, jump_p_all_chain, window_size=5, jump_p_thresh=0.4,
+    consensus_thresh=0.8,
+):
+    """Fraction of one chain's detected jumps corroborated (within a +/-
+    window) by at least ``consensus_thresh`` of all chains
+    (reference model_selection_helper.py:264-299)."""
+    jump_p = np.asarray(jump_p)
+    jump_p_all_chain = np.asarray(jump_p_all_chain)
+    jump_time_index = np.nonzero(jump_p >= jump_p_thresh)[0]
+
+    jump_time_index_consensus = []
+    whether_consensus_ma = []
+    for jti in jump_time_index:
+        window = jump_p_all_chain[
+            max(0, jti - window_size) : jti + window_size, :
+        ]
+        whether = (window > jump_p_thresh).any(axis=0).mean() >= consensus_thresh
+        whether_consensus_ma.append(whether)
+        if whether:
+            jump_time_index_consensus.append(jti)
+    jump_time_index_consensus = np.array(jump_time_index_consensus, dtype=int)
+    whether_consensus_ma = np.array(whether_consensus_ma)
+
+    frac_consensus = (
+        whether_consensus_ma.mean() if len(whether_consensus_ma) else np.nan
+    )
+    is_jump_filtered = np.zeros(len(jump_p))
+    if len(jump_time_index_consensus) > 0:
+        is_jump_filtered[jump_time_index_consensus] = 1
+    return frac_consensus, is_jump_filtered, whether_consensus_ma
+
+
+def get_jump_consensus_shuffle(
+    jump_p, jump_p_all_chain, chain_index, n_shuffle=1000, window_size=5,
+    jump_p_thresh=0.4, consensus_thresh=0.8, key=None,
+):
+    """Circular-shift null distribution for the jump-consensus metric,
+    vectorized over shuffles (reference model_selection_helper.py:302-420)."""
+    key = jr.PRNGKey(42) if key is None else key
+    jump_p = jnp.asarray(jump_p)
+    jump_p_all_chain = jnp.asarray(jump_p_all_chain)
+
+    n_time, n_total_chains = jump_p_all_chain.shape
+    other_mask = jnp.arange(n_total_chains) != chain_index
+    jump_p_other = jump_p_all_chain[:, other_mask]
+    n_other = int(jump_p_other.shape[1])
+
+    shuffle_keys = jr.split(key, n_shuffle)
+
+    def shifts_for(k):
+        chain_keys = jr.split(k, n_other)
+        return jax.vmap(
+            lambda kk: jr.randint(kk, shape=(), minval=0, maxval=n_time)
+        )(chain_keys)
+
+    shift_amounts = jax.vmap(shifts_for)(shuffle_keys)  # (n_shuffle, n_other)
+    time_idx = jnp.arange(n_time)
+    shifted_idx = (time_idx[None, None, :] - shift_amounts[:, :, None]) % n_time
+    shuffled_other = jump_p_other[
+        shifted_idx, jnp.arange(n_other)[None, :, None]
+    ].transpose(0, 2, 1)  # (n_shuffle, n_time, n_other)
+
+    shuffled_all = jnp.zeros((n_shuffle, n_time, n_total_chains))
+    shuffled_all = shuffled_all.at[:, :, chain_index].set(jump_p[None, :])
+    shuffled_all = shuffled_all.at[:, :, other_mask].set(shuffled_other)
+
+    is_jump = jump_p >= jump_p_thresh
+    jump_time_indices = np.where(np.asarray(is_jump))[0]
+
+    if len(jump_time_indices) == 0:
+        frac_consensus_distribution = jnp.zeros(n_shuffle)
+    else:
+        per_jump = []
+        for jti in jump_time_indices:
+            start = max(0, int(jti) - window_size)
+            end = min(n_time, int(jti) + window_size + 1)
+            window = shuffled_all[:, start:end, :]
+            chain_has_jump = jnp.any(window > jump_p_thresh, axis=1)
+            consensus_frac = jnp.mean(chain_has_jump, axis=1)
+            per_jump.append(consensus_frac >= consensus_thresh)
+        frac_consensus_distribution = jnp.mean(
+            jnp.stack(per_jump, axis=0), axis=0
+        )
+
+    dist = np.asarray(frac_consensus_distribution)
+    return {
+        "frac_consensus_distribution": dist,
+        "percentile_2_5": float(np.percentile(dist, 2.5)),
+        "percentile_97_5": float(np.percentile(dist, 97.5)),
+        "mean": float(dist.mean()),
+        "std": float(dist.std()),
+    }
+
+
+def get_lml_test_history(y_test, model, tuning_saved, do_nb=True, ma_temporal=None):
+    """Held-out LML for each saved tuning snapshot
+    (reference model_selection_helper.py:424-445)."""
+    if ma_temporal is not None:
+        ma_neuron = jnp.ones(y_test.shape[1])[None, :] * jnp.asarray(
+            ma_temporal
+        )[:, None]
+    else:
+        ma_neuron = None
+
+    lml_test_l = []
+    for tun_ in tuning_saved:
+        if do_nb:
+            res = model.decode_latent_naive_bayes(
+                y_test, tuning=tun_, ma_neuron=ma_neuron
+            )
+            lml_test_l.append(res["log_marginal_total"])
+        else:
+            res = model.decode_latent(y_test, tuning=tun_, ma_neuron=ma_neuron)
+            lml_test_l.append(res["log_marginal_final"])
+    return np.array(lml_test_l)

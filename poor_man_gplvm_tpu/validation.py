@@ -1,0 +1,156 @@
+"""Statistical model validation: circular-shuffle nulls, decode-and-threshold
+significance, posterior entropy, jump verification.
+
+TPU-native equivalent of reference poor_man_gplvm/test.py (the reference's
+"test" module is statistical validation run manually, not a unit test —
+SURVEY.md §4) and poor_man_gplvm/verify_latent_jump.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import tqdm
+
+from poor_man_gplvm_tpu.utils import compat
+
+__all__ = [
+    "circular_shuffle_data",
+    "shuffle_and_decode",
+    "test_one_model",
+    "compute_entropy",
+    "get_contrast_axis_and_proj",
+    "segment_trial_by_jump",
+]
+
+
+def circular_shuffle_data(spk_tsdf, n_shuffle=100, ep=None, seed=None):
+    """Generator of circularly-shuffled copies; each neuron shifted
+    independently (reference test.py:10-24)."""
+    rng = np.random.default_rng(seed)
+    if ep is not None:
+        assert compat.is_tsdframe(spk_tsdf), (
+            "input data must be a TsdFrame when ep is given"
+        )
+        spk_tsdf = spk_tsdf.restrict(ep)
+    arr = np.asarray(spk_tsdf.d if compat.is_tsdframe(spk_tsdf) else spk_tsdf)
+    n_time, n_neuron = arr.shape
+    for _ in range(n_shuffle):
+        shuffled = arr.copy()
+        for j in range(n_neuron):
+            shuffled[:, j] = np.roll(arr[:, j], rng.integers(0, n_time))
+        yield jnp.asarray(shuffled)
+
+
+def shuffle_and_decode(model, spk_tsdf, n_time_per_chunk=10000, dt_l=1,
+                       n_shuffle=100, ep=None, decoder_type="naive_bayes",
+                       seed=None, verbose=True):
+    """Decode each circular shuffle; stack result dicts over shuffles
+    (reference test.py:27-45)."""
+    y_shuffled_l = circular_shuffle_data(
+        spk_tsdf, n_shuffle=n_shuffle, ep=ep, seed=seed
+    )
+    decoding_res_l = []
+    for y_shuffled in tqdm.tqdm(
+        y_shuffled_l, total=n_shuffle, disable=not verbose
+    ):
+        if decoder_type == "naive_bayes":
+            res = model.decode_latent_naive_bayes(
+                y_shuffled, n_time_per_chunk=n_time_per_chunk, dt_l=dt_l
+            )
+        elif decoder_type == "dynamics":
+            res = model.decode_latent(
+                y_shuffled, n_time_per_chunk=n_time_per_chunk
+            )
+        else:
+            raise ValueError(f"decoder_type {decoder_type} not supported")
+        decoding_res_l.append(res)
+    return {
+        k: np.array([np.asarray(d[k]) for d in decoding_res_l])
+        for k in decoding_res_l[0].keys()
+    }
+
+
+def test_one_model(y_true, model_fit, n_shuffle=100,
+                   decoder_type="naive_bayes", sig_key=None, seed=None):
+    """Per-timestep significance: decode true data vs the 97.5%-quantile of the
+    circular-shuffle null (reference test.py:48-68)."""
+    y_true_t = y_true.t
+    y_true_d = y_true.d
+    if sig_key is None:
+        sig_key = (
+            "log_marginal_l"
+            if decoder_type == "naive_bayes"
+            else "log_one_step_predictive_marginals_all"
+        )
+    if decoder_type == "naive_bayes":
+        res_true = model_fit.decode_latent_naive_bayes(y_true_d)
+    elif decoder_type == "dynamics":
+        res_true = model_fit.decode_latent(y_true_d)
+    else:
+        raise ValueError(f"decoder_type {decoder_type} not supported")
+    res_shuffle = shuffle_and_decode(
+        model_fit, y_true_d, n_time_per_chunk=10000, dt_l=1,
+        n_shuffle=n_shuffle, ep=None, decoder_type=decoder_type, seed=seed,
+    )
+    log_marg_thresh = np.quantile(res_shuffle[sig_key], 0.975, axis=0)
+    is_sig = np.asarray(res_true[sig_key]) > log_marg_thresh
+    is_sig_tsd = compat.tsd(d=is_sig, t=y_true_t)
+    return {
+        "decode_res_true": res_true,
+        "decode_res_shuffle": res_shuffle,
+        "log_marg_thresh": log_marg_thresh,
+        "is_sig_tsd": is_sig_tsd,
+    }
+
+
+def compute_entropy(logp_l, axis=(-1, -2)):
+    """Posterior entropy over the chosen axes (reference test.py:70-79)."""
+    logp_l = np.asarray(logp_l)
+    return -np.sum(np.exp(logp_l) * logp_l, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# jump verification (reference verify_latent_jump.py)
+# ---------------------------------------------------------------------------
+
+
+def get_contrast_axis_and_proj(x_sub, tuning, map_state_pre, map_state_post,
+                               map_state_win=3):
+    """Population-vector contrast axis between two latent states, and the
+    projection of activity onto it (reference verify_latent_jump.py:4-23).
+    Each state's axis is averaged over +/- map_state_win adjacent states."""
+    tuning = np.asarray(tuning)
+    pre_range = slice(map_state_pre - map_state_win, map_state_pre + map_state_win + 1)
+    axis_pre = tuning[pre_range].mean(axis=0)
+    post_range = slice(
+        map_state_post - map_state_win, map_state_post + map_state_win + 1
+    )
+    axis_post = tuning[post_range].mean(axis=0)
+    contrast = axis_pre - axis_post
+    contrast = contrast / np.linalg.norm(contrast)
+    proj = np.asarray(x_sub).dot(contrast)
+    return proj, contrast
+
+
+def segment_trial_by_jump(jump_p_sub, post_map_sub,
+                          jump_p_merge_threshold_time=1, is_jump_threshold=0.5):
+    """Segment a trial into continuous-dynamics epochs separated by jump
+    epochs; median MAP latent per continuous segment
+    (reference verify_latent_jump.py:28-50)."""
+    jump_epoch = jump_p_sub.threshold(
+        is_jump_threshold
+    ).time_support.merge_close_intervals(jump_p_merge_threshold_time)
+    continuous_epoch = post_map_sub.time_support.set_diff(jump_epoch)
+
+    post_map_median_per_epoch = {}
+    for ii, epoch in enumerate(continuous_epoch):
+        restricted = post_map_sub.restrict(epoch)
+        post_map_median_per_epoch[ii] = (
+            np.nanmedian(np.asarray(restricted.d)) if len(restricted) else np.nan
+        )
+    return {
+        "post_map_median_per_epoch": post_map_median_per_epoch,
+        "jump_epoch": jump_epoch,
+        "continuous_epoch": continuous_epoch,
+    }

@@ -1,0 +1,134 @@
+"""Model-selection layer: grids, multi-chain fit/eval, metrics."""
+
+import jax.random as jr
+import numpy as np
+import pytest
+
+import poor_man_gplvm_tpu as pmg
+from poor_man_gplvm_tpu import selection
+
+T, N, L = 200, 10, 12
+FAST_FIT = {
+    "n_iter": 2,
+    "log_posterior_init": None,
+    "n_time_per_chunk": 10000,
+    "dt": 1.0,
+    "likelihood_scale": 1.0,
+    "save_every": None,
+    "posterior_init_kwargs": {"random_scale": 0.1},
+    "verboase": False,
+}
+
+
+@pytest.fixture(scope="module")
+def data():
+    model = pmg.PoissonGPLVMJump1D(N, n_latent_bin=L, tuning_lengthscale=3.0)
+    _, y = model.sample(T, key=jr.PRNGKey(0))
+    return np.asarray(y)
+
+
+def test_generate_hyperparam_grid():
+    grid_l, grid_df = selection.generate_hyperparam_grid(
+        {"tuning_lengthscale": [1.0, 2.0], "movement_variance": [0.5, 1.0, 2.0]}
+    )
+    assert len(grid_l) == 6
+    assert len(grid_df) == 6
+    assert set(grid_l[0].keys()) == {"tuning_lengthscale", "movement_variance"}
+
+
+def test_fit_and_evaluate_one_config(data):
+    model_fit_l, em_res_l = selection.fit_model_one_config(
+        {"n_latent_bin": L, "tuning_lengthscale": 3.0}, data,
+        key=jr.PRNGKey(1), fit_kwargs=FAST_FIT, n_repeat=2,
+    )
+    assert len(model_fit_l) == 2
+    res = selection.evaluate_model_one_config(
+        model_fit_l, data[:80], latent_downsample_frac=[0.5],
+        downsample_n_repeat=2,
+    )
+    assert "log_marginal_test" in res
+    assert "downsampled_lml_0.5" in res
+    assert "jump_consensus" in res
+    assert "metric_overall" in res
+    assert res["metric_overall"]["value_per_fit"].shape == (2,)
+    assert 0 <= res["metric_overall"]["best_index"] < 2
+    # downsampled lml must be below the full lml (fewer allowed bins)
+    assert (
+        res["downsampled_lml_0.5"]["best_value"]
+        < res["log_marginal_test"]["best_value"]
+    )
+
+
+def test_model_selection_one_split(data):
+    res = selection.model_selection_one_split(
+        data,
+        {"movement_variance": [0.5, 2.0]},
+        test_frac=0.3,
+        fit_kwargs=FAST_FIT,
+        n_repeat=2,
+        latent_downsample_frac=[0.5],
+        downsample_n_repeat=2,
+        verbose=False,
+    )
+    assert res["best_config"] in (
+        {"movement_variance": 0.5}, {"movement_variance": 2.0}
+    )
+    assert res["best_model"] is not None
+    df = res["model_eval_result_all_configs"]
+    assert len(df) == 2
+    assert "metric_overall_best_value" in df.columns
+    assert "movement_variance" in df.columns
+
+
+def test_latentonly_drops_jump_metrics(data):
+    res = selection.model_selection_one_split(
+        data, {"movement_variance": [1.0]}, test_frac=0.3,
+        fit_kwargs=FAST_FIT, model_class_str="poisson_latentonly",
+        n_repeat=1, latent_downsample_frac=[0.5], downsample_n_repeat=2,
+        verbose=False,
+    )
+    df = res["model_eval_result_all_configs"]
+    assert not any("jump" in c for c in df.columns)
+
+
+def test_jump_consensus_basics():
+    n_time = 100
+    jump_p = np.zeros(n_time)
+    jump_p[[20, 60]] = 0.9
+    # all chains agree at 20; none at 60
+    all_chain = np.zeros((n_time, 4))
+    all_chain[18:23, :] = 0.9
+    all_chain[60, 0] = 0.9  # only the reference chain
+    frac, is_filt, ma = selection.get_jump_consensus(
+        jump_p, all_chain, window_size=5, jump_p_thresh=0.4,
+        consensus_thresh=0.8,
+    )
+    assert frac == 0.5
+    assert is_filt[20] == 1 and is_filt[60] == 0
+
+
+def test_jump_consensus_shuffle():
+    rng = np.random.default_rng(0)
+    n_time = 80
+    jump_p = (rng.random(n_time) > 0.9).astype(float)
+    all_chain = (rng.random((n_time, 4)) > 0.9).astype(float)
+    all_chain[:, 1] = jump_p
+    res = selection.get_jump_consensus_shuffle(
+        jump_p, all_chain, chain_index=1, n_shuffle=50, window_size=3
+    )
+    assert res["frac_consensus_distribution"].shape == (50,)
+    assert 0 <= res["mean"] <= 1
+    assert res["percentile_2_5"] <= res["percentile_97_5"]
+
+
+def test_lml_test_history(data):
+    model = pmg.PoissonGPLVMJump1D(N, n_latent_bin=L, tuning_lengthscale=3.0)
+    em = model.fit_em(data, n_iter=3, save_every=1, verboase=False)
+    hist = selection.get_lml_test_history(
+        data[:50], model, em["tuning_saved"], do_nb=True
+    )
+    assert hist.shape == (3,)
+    hist2 = selection.get_lml_test_history(
+        data[:50], model, em["tuning_saved"], do_nb=False
+    )
+    assert hist2.shape == (3,)
