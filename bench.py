@@ -32,7 +32,7 @@ def main():
     import poor_man_gplvm_tpu as pmg
 
     T, L, N = 100_000, 100, 100
-    n_timed_iters = 3
+    n_timed_iters = 10
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
@@ -41,9 +41,10 @@ def main():
     model = pmg.PoissonGPLVMJump1D(
         N, n_latent_bin=L, movement_variance=1, tuning_lengthscale=10.0
     )
-    # warmup: compile all programs
+    # warmup: compile all programs (2 EM iters hit both the fresh- and
+    # threaded-opt-state program variants)
     t0 = time.time()
-    model.fit_em(y, key=jr.PRNGKey(3), n_iter=1, verboase=False)
+    model.fit_em(y, key=jr.PRNGKey(3), n_iter=2, verboase=False)
     log(f"warmup (compile) {time.time()-t0:.1f}s")
 
     t0 = time.time()

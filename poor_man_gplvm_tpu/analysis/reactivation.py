@@ -1,0 +1,186 @@
+"""Reactivation analyses: pre/post epoch decoding with shuffle nulls.
+
+TPU-native equivalent of reference poor_man_gplvm/reactivation_analysis.py.
+Two shuffle types (reference reactivation_analysis.py:14-19): circular spike
+shuffles within epoch (tests correlation structure vs single-neuron
+activation) and pre/post label permutation (tests whether the boundary
+matters at all).  The xarray groupby of the reference's within-ripple
+aggregation is replaced with pandas.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import tqdm
+
+from poor_man_gplvm_tpu.utils import compat
+
+__all__ = [
+    "decode_pre_post",
+    "circular_shuffle_spikes_within_epoch_and_decode",
+    "circular_shuffle_column_independently",
+    "random_reassign_prepost_latent_difference",
+    "generate_homogeneous_poisson_surrogate_data",
+    "aggregate_within_ripple_per_epoch",
+]
+
+
+def decode_pre_post(model, spk_mat_d, pre_post_epoch_d=None,
+                    decoder_type="naive_bayes", common_ep=None):
+    """Decode latents per pre/post epoch; mean posterior per epoch + diff
+    (reference reactivation_analysis.py:21-55)."""
+    if pre_post_epoch_d is not None and compat.is_tsdframe(spk_mat_d):
+        assert "pre" in pre_post_epoch_d and "post" in pre_post_epoch_d
+        spk_mat_d = {
+            k: spk_mat_d.restrict(ep) for k, ep in pre_post_epoch_d.items()
+        }
+        if common_ep is not None:
+            spk_mat_d = {
+                k: v.restrict(common_ep) for k, v in spk_mat_d.items()
+            }
+    else:
+        assert "pre" in spk_mat_d and "post" in spk_mat_d
+
+    post_latent_d = {}
+    post_latent_mean_d = {}
+    for pre_post, spk_sub in spk_mat_d.items():
+        arr = spk_sub.d if compat.is_tsdframe(spk_sub) else spk_sub
+        if decoder_type == "naive_bayes":
+            res = model.decode_latent_naive_bayes(jnp.array(arr))
+            post_latent_marg = np.asarray(res["posterior_latent"])
+        elif decoder_type == "dynamics":
+            res = model.decode_latent(jnp.array(arr))
+            post_latent_marg = np.asarray(res["posterior_latent_marg"])
+        else:
+            raise ValueError(f"decoder_type {decoder_type} not supported")
+        post_latent_d[pre_post] = post_latent_marg
+        post_latent_mean_d[pre_post] = post_latent_marg.mean(axis=0)
+    post_latent_mean_d["diff"] = (
+        post_latent_mean_d["post"] - post_latent_mean_d["pre"]
+    )
+    post_latent_mean_d = pd.DataFrame(
+        post_latent_mean_d, columns=["pre", "post", "diff"]
+    )
+    return {
+        "post_latent_d": post_latent_d,
+        "post_latent_mean_d": post_latent_mean_d,
+    }
+
+
+def circular_shuffle_column_independently(spk_mat, min_shift=5, rng=None):
+    """Circularly shift each column independently
+    (reference reactivation_analysis.py:84-92)."""
+    rng = np.random.default_rng(rng)
+    spk_mat = np.asarray(spk_mat)
+    n_time, n_neuron = spk_mat.shape
+    shuffled = spk_mat.copy()
+    for j in range(n_neuron):
+        shuffled[:, j] = np.roll(
+            spk_mat[:, j], rng.integers(min_shift, n_time - min_shift)
+        )
+    return shuffled
+
+
+def circular_shuffle_spikes_within_epoch_and_decode(
+    model, spk_mat, pre_post_epoch_d, decoder_type="naive_bayes",
+    common_ep=None, n_shuffle=100, verbose=True, rng=None,
+):
+    """Circular within-epoch per-neuron shuffles -> decode -> stacked mean
+    posteriors (reference reactivation_analysis.py:57-82)."""
+    rng = np.random.default_rng(rng)
+    spk_mat_d = {}
+    for pre_post, ep in pre_post_epoch_d.items():
+        sub = spk_mat.restrict(ep)
+        if common_ep is not None:
+            sub = sub.restrict(common_ep)
+        spk_mat_d[pre_post] = np.asarray(sub.d)
+
+    out = {}
+    for i in tqdm.trange(n_shuffle, disable=not verbose):
+        shuffled_d = {
+            k: circular_shuffle_column_independently(
+                v, min_shift=5, rng=rng.integers(2**31)
+            )
+            for k, v in spk_mat_d.items()
+        }
+        res = decode_pre_post(model, shuffled_d, decoder_type=decoder_type)
+        out[i] = res["post_latent_mean_d"]
+    return pd.concat(out, axis=0)
+
+
+def random_reassign_prepost_latent_difference(posterior_latent_d,
+                                              n_shuffle=100, verbose=True,
+                                              rng=None):
+    """Permute pre/post labels over timepoints; recompute epoch means + diff
+    (reference reactivation_analysis.py:94-117)."""
+    rng = np.random.default_rng(rng)
+    post_concat = np.concatenate(
+        [np.asarray(v) for v in posterior_latent_d.values()], axis=0
+    )
+    keys = list(posterior_latent_d.keys())
+    label_l = np.concatenate(
+        [np.array([k] * len(np.asarray(v))) for k, v in posterior_latent_d.items()]
+    )
+    out = {}
+    for i in tqdm.trange(n_shuffle, disable=not verbose):
+        label_sh = rng.permutation(label_l)
+        means = {
+            k: post_concat[label_sh == k].mean(axis=0) for k in keys
+        }
+        means["diff"] = means["post"] - means["pre"]
+        out[i] = pd.DataFrame(means, columns=["pre", "post", "diff"])
+    return pd.concat(out, axis=0)
+
+
+def generate_homogeneous_poisson_surrogate_data(
+    spk_times, intv_per_ep, count_bin=0.02, n_repeat=50, verbose=True, rng=None,
+):
+    """Per-epoch homogeneous-Poisson surrogates matching each unit's epoch
+    firing rate (reference reactivation_analysis.py:120-151).
+
+    spk_times: TsGroup (pynapple or internal shim).
+    Returns (surrogate count matrices list, rate_per_ep, nbins_per_ep,
+    concatenated bin timestamps)."""
+    rng = np.random.default_rng(rng)
+    nbins_per_ep, rate_per_ep, t_l = {}, {}, []
+    for k, intv in intv_per_ep.items():
+        restricted = spk_times.restrict(intv)
+        counted = restricted.count(count_bin)
+        nbins_per_ep[k] = counted.shape[0]
+        t_l.append(counted.t)
+        rate_per_ep[k] = np.asarray(restricted.rate)
+    t_l = np.concatenate(t_l)
+
+    surrogates = []
+    for _ in tqdm.trange(n_repeat, disable=not verbose):
+        parts = [
+            rng.poisson(
+                rate_per_ep[k] * count_bin,
+                size=(nbins_per_ep[k], rate_per_ep[k].shape[0]),
+            )
+            for k in rate_per_ep
+        ]
+        surrogates.append(np.concatenate(parts, axis=0))
+    return surrogates, rate_per_ep, nbins_per_ep, t_l
+
+
+def aggregate_within_ripple_per_epoch(posterior_latent, ripple_intv_per_ep):
+    """Max within each ripple, mean across ripples, per epoch
+    (reference reactivation_analysis.py:153-176; pandas groupby instead of
+    xarray)."""
+    out = {}
+    for ep, intv in ripple_intv_per_ep.items():
+        if len(intv) == 0:
+            continue
+        post_ep = posterior_latent.restrict(intv)
+        rip_label = np.asarray(intv.in_interval(post_ep))
+        d = np.asarray(post_ep.d)
+        flat = d.reshape(d.shape[0], -1)
+        df = pd.DataFrame(flat)
+        df["ripple_label"] = rip_label
+        per_ripple_max = df.groupby("ripple_label").max()
+        agg = per_ripple_max.mean(axis=0).to_numpy().reshape(d.shape[1:])
+        out[ep] = agg
+    return out

@@ -71,8 +71,13 @@ class _GPLVMCommon(ABC):
         self.basis_type = basis_type
         self.custom_tuning_kernel = custom_tuning_kernel
         self.custom_transition_kernel = custom_transition_kernel
-        # 'prob' = scaled probability-space engine (TPU fast path);
-        # 'log'  = log-space mirror of the reference's op order.
+        # 'pallas' = fused in-VMEM scan kernels (TPU default);
+        # 'prob'   = scaled probability-space lax.scan engine (CPU default);
+        # 'log'    = log-space mirror of the reference's op order.
+        if inference_engine in (None, "auto"):
+            inference_engine = (
+                "pallas" if jax.default_backend() == "tpu" else "prob"
+            )
         self.inference_engine = inference_engine
 
         self.tuning_basis = generate_basis(
@@ -195,15 +200,15 @@ class _GPLVMCommon(ABC):
                 observation_model=observation_model,
             )
         )
-        posterior_latent = np.exp(log_post)
+        posterior_latent = jnp.exp(log_post)
         if t_l is not None:
-            posterior_latent = compat.tsdframe(d=posterior_latent, t=t_l)
+            posterior_latent = compat.tsdframe(d=np.asarray(posterior_latent), t=t_l)
         return {
-            "log_posterior_latent": np.array(log_post),
-            "log_marginal_l": np.array(log_marginal_l),
+            "log_posterior_latent": log_post,
+            "log_marginal_l": log_marginal_l,
             "log_marginal_total": float(log_marginal_total),
             "posterior_latent": posterior_latent,
-            "ll_per_pos_l": np.array(ll_per_pos_l),
+            "ll_per_pos_l": ll_per_pos_l,
         }
 
     # ------------------------------------------------------------------
@@ -213,7 +218,7 @@ class _GPLVMCommon(ABC):
         self, y, hyperparam=None, key=None, n_iter=20, log_posterior_init=None,
         opt_state_curr=None, ma_neuron=None, ma_latent=None,
         n_time_per_chunk=10000, dt=1.0, likelihood_scale=1.0, save_every=None,
-        posterior_init_kwargs=None, verboase=True, **kwargs,
+        posterior_init_kwargs=None, verboase=True, profile=False, **kwargs,
     ):
         hyperparam = {} if hyperparam is None else hyperparam
         key = jr.PRNGKey(0) if key is None else key
@@ -268,16 +273,19 @@ class _GPLVMCommon(ABC):
         log_posterior_all_saved, params_saved = [], []
         tuning_saved, iter_saved, log_marginal_saved = [], [], []
 
+        import time as _time
+
+        phase_times = {"m_step": [], "e_step": [], "collect": []}
+
         for i in tqdm.trange(n_iter, desc="EM", disable=not verboase):
+            t0 = _time.time()
             m_res = self.m_step(
                 params, y_, log_posterior_curr, tuning_basis, hyperparam,
                 opt_state_curr=opt_state_curr,
             )
-            if i == 0:
-                m_step_res_l = {k: [] for k in m_res.keys()}
-            for k in m_res.keys():
-                if k not in ["params", "opt_state"]:
-                    m_step_res_l[k].append(m_res[k])
+            if profile:
+                jax.block_until_ready(m_res["params"])
+            t1 = _time.time()
             params = m_res["params"]
             opt_state_curr = m_res.get("opt_state", None)
 
@@ -294,6 +302,15 @@ class _GPLVMCommon(ABC):
                 log_posterior_curr = logsumexp(log_posterior_all, axis=1)
             else:
                 log_posterior_curr = log_posterior_all
+            if profile:
+                jax.block_until_ready(log_posterior_curr)
+            t2 = _time.time()
+
+            if i == 0:
+                m_step_res_l = {k: [] for k in m_res.keys()}
+            for k in m_res.keys():
+                if k not in ["params", "opt_state"]:
+                    m_step_res_l[k].append(m_res[k])
             log_marginal_l.append(log_marginal_final)
 
             if i % save_every == 0:
@@ -302,6 +319,10 @@ class _GPLVMCommon(ABC):
                 tuning_saved.append(tuning)
                 log_marginal_saved.append(log_marginal_final)
                 iter_saved.append(i)
+            t3 = _time.time()
+            phase_times["m_step"].append(t1 - t0)
+            phase_times["e_step"].append(t2 - t1)
+            phase_times["collect"].append(t3 - t2)
 
         # update attributes (reference core.py:344-349 / 678-686)
         self.params = params
@@ -311,7 +332,9 @@ class _GPLVMCommon(ABC):
             setattr(self, attr_name, attr_val)
         self.tuning_basis = tuning_basis
 
-        posterior = np.exp(log_posterior_all)
+        # stay on device: transfers to host happen lazily on access
+        # (np.asarray), which matters when the host link is slow
+        posterior = jnp.exp(log_posterior_all)
         em_res = {
             "log_posterior_all_saved": log_posterior_all_saved,
             "log_posterior_init": log_posterior_init,
@@ -327,9 +350,11 @@ class _GPLVMCommon(ABC):
             "posterior": posterior,
             "m_step_res_l": m_step_res_l,
         }
+        if profile:
+            em_res["profile"] = phase_times
         if self.has_dynamics:
-            posterior_latent_marg = posterior.sum(axis=1)
-            posterior_dynamics_marg = posterior.sum(axis=2)
+            posterior_latent_marg = jnp.sum(posterior, axis=1)
+            posterior_dynamics_marg = jnp.sum(posterior, axis=2)
             if compat.is_tsdframe(y):
                 posterior_latent_marg = compat.tsdframe(
                     d=posterior_latent_marg, t=y.t

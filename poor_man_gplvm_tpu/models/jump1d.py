@@ -7,6 +7,8 @@ TPU-native equivalents of reference ``AbstractGPLVMJump1D``,
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -19,6 +21,15 @@ from poor_man_gplvm_tpu.ops import hmm
 from poor_man_gplvm_tpu.utils import compat
 
 __all__ = ["AbstractGPLVMJump1D", "PoissonGPLVMJump1D", "GaussianGPLVMJump1D"]
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _init_posterior_random(T, n_latent_bin, key, random_scale):
+    posterior = jax.random.uniform(key, shape=(T, n_latent_bin)) * random_scale
+    posterior = posterior / posterior.sum(axis=1, keepdims=True)
+    log_posterior = jnp.log(posterior)
+    log_posterior = jnp.where(log_posterior == -jnp.inf, -1e40, log_posterior)
+    return log_posterior, posterior
 
 
 class AbstractGPLVMJump1D(_GPLVMCommon):
@@ -48,7 +59,7 @@ class AbstractGPLVMJump1D(_GPLVMCommon):
         custom_tuning_kernel=None,
         custom_transition_kernel=None,
         smoothness_penalty=0.0,
-        inference_engine="prob",
+        inference_engine="auto",
     ):
         self.p_move_to_jump = p_move_to_jump
         self.p_jump_to_move = p_jump_to_move
@@ -138,23 +149,25 @@ class AbstractGPLVMJump1D(_GPLVMCommon):
             likelihood_scale, n_time_per_chunk,
         )
 
-        posterior_all = np.exp(log_posterior_all)
-        posterior_latent_marg = posterior_all.sum(axis=1)
-        posterior_dynamics_marg = posterior_all.sum(axis=2)
+        posterior_all = jnp.exp(log_posterior_all)
+        posterior_latent_marg = jnp.sum(posterior_all, axis=1)
+        posterior_dynamics_marg = jnp.sum(posterior_all, axis=2)
         if t_l is not None:
-            posterior_latent_marg = compat.tsdframe(d=posterior_latent_marg, t=t_l)
+            posterior_latent_marg = compat.tsdframe(
+                d=np.asarray(posterior_latent_marg), t=t_l
+            )
             posterior_dynamics_marg = compat.tsdframe(
-                d=posterior_dynamics_marg, t=t_l
+                d=np.asarray(posterior_dynamics_marg), t=t_l
             )
 
         decoding_res = {
-            "log_posterior_all": np.array(log_posterior_all),
+            "log_posterior_all": log_posterior_all,
             "log_marginal_final": float(log_marginal_final),
             "posterior_all": posterior_all,
             "posterior_latent_marg": posterior_latent_marg,
             "posterior_dynamics_marg": posterior_dynamics_marg,
             "log_one_step_predictive_marginals_all": log_one_step_pred,
-            "log_likelihood_all": np.array(log_likelihood_all),
+            "log_likelihood_all": log_likelihood_all,
         }
         if log_acc is not None:
             decoding_res.update(hmm.compute_transition_posterior_prob(log_acc))
@@ -218,11 +231,7 @@ class AbstractGPLVMJump1D(_GPLVMCommon):
     def init_latent_posterior(self, T, key, random_scale=0.1):
         """Pure-random init — intentionally different from the 1D family
         (reference core.py:571-583)."""
-        posterior = jax.random.uniform(key, shape=(T, self.n_latent_bin)) * random_scale
-        posterior = posterior / posterior.sum(axis=1, keepdims=True)
-        log_posterior = jnp.log(posterior)
-        log_posterior = jnp.where(log_posterior == -jnp.inf, -1e40, log_posterior)
-        return log_posterior, posterior
+        return _init_posterior_random(T, self.n_latent_bin, key, random_scale)
 
 
 class PoissonGPLVMJump1D(AbstractGPLVMJump1D):
@@ -266,15 +275,17 @@ class PoissonGPLVMJump1D(AbstractGPLVMJump1D):
             param_curr, opt_state_curr, hyperparam, tuning_basis, y_weighted,
             t_weighted,
         )
-        n_iter = adam_res["n_iter"]
+        # trim histories HOST-side: device-side slicing would compile a new
+        # shape-specialized op for every distinct Adam iteration count
+        n_iter = int(adam_res["n_iter"])
         return {
             "params": adam_res["params"],
             "opt_state": adam_res["opt_state"],
             "n_iter": n_iter,
             "final_loss": adam_res["final_loss"],
             "final_error": adam_res["final_error"],
-            "loss_history": adam_res["loss_history"][:n_iter],
-            "error_history": adam_res["error_history"][:n_iter],
+            "loss_history": __import__("numpy").asarray(adam_res["loss_history"])[:n_iter],
+            "error_history": __import__("numpy").asarray(adam_res["error_history"])[:n_iter],
         }
 
     def fit_em(
@@ -290,11 +301,11 @@ class PoissonGPLVMJump1D(AbstractGPLVMJump1D):
         hyperparam_["smoothness_penalty"] = hyperparam_.get(
             "smoothness_penalty", self.smoothness_penalty
         )
-        self.adam_runner, self.opt_state_init_fun = fth.make_adam_runner(
+        self.adam_runner, self.opt_state_init_fun = fth.make_adam_runner_cached(
             fth.poisson_m_step_objective_smoothness
             if self.basis_type == "bspline"
             else fth.poisson_m_step_objective,
-            step_size=m_step_step_size, maxiter=m_step_maxiter, tol=m_step_tol,
+            m_step_step_size, maxiter=m_step_maxiter, tol=m_step_tol,
         )
         opt_state_curr = self.opt_state_init_fun(self.params)
         return super().fit_em(

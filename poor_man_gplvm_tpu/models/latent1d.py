@@ -6,6 +6,8 @@ and ``GaussianGPLVM1D`` (reference: poor_man_gplvm/core.py:76-373, 919-1094).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -18,6 +20,16 @@ from poor_man_gplvm_tpu.ops import hmm
 from poor_man_gplvm_tpu.utils import compat
 
 __all__ = ["AbstractGPLVM1D", "PoissonGPLVM1D", "GaussianGPLVM1D"]
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _init_posterior_uniform_noise(T, n_latent_bin, key, random_scale):
+    posterior = jnp.ones((T, n_latent_bin)) / n_latent_bin
+    posterior = posterior + jax.random.uniform(key, shape=posterior.shape) * random_scale
+    posterior = posterior / posterior.sum(axis=1, keepdims=True)
+    log_posterior = jnp.log(posterior)
+    log_posterior = jnp.where(log_posterior == -jnp.inf, -1e40, log_posterior)
+    return log_posterior, posterior
 
 
 class AbstractGPLVM1D(_GPLVMCommon):
@@ -41,7 +53,7 @@ class AbstractGPLVM1D(_GPLVMCommon):
         custom_tuning_kernel=None,
         custom_transition_kernel=None,
         smoothness_penalty=0.0,
-        inference_engine="prob",
+        inference_engine="auto",
     ):
         self._init_common(
             n_neuron, n_latent_bin, tuning_lengthscale, param_prior_std,
@@ -112,16 +124,16 @@ class AbstractGPLVM1D(_GPLVMCommon):
             likelihood_scale, n_time_per_chunk,
         )
 
-        posterior_all = np.exp(log_posterior_all)
+        posterior_all = jnp.exp(log_posterior_all)
         if t_l is not None:
-            posterior_all = compat.tsdframe(d=posterior_all, t=t_l)
+            posterior_all = compat.tsdframe(d=np.asarray(posterior_all), t=t_l)
 
         decoding_res = {
-            "log_posterior_all": np.array(log_posterior_all),
+            "log_posterior_all": log_posterior_all,
             "log_marginal_final": float(log_marginal_final),
             "posterior_all": posterior_all,
             "log_one_step_predictive_marginals_all": log_one_step_pred,
-            "log_likelihood_all": np.array(log_likelihood_all),
+            "log_likelihood_all": log_likelihood_all,
         }
         if log_acc is not None:
             decoding_res.update(
@@ -166,12 +178,7 @@ class AbstractGPLVM1D(_GPLVMCommon):
     def init_latent_posterior(self, T, key, random_scale=0.1):
         """Uniform + noise init — intentionally different from the jump
         family (reference core.py:241-250)."""
-        posterior = jnp.ones((T, self.n_latent_bin)) / self.n_latent_bin
-        posterior = posterior + jax.random.uniform(key, shape=posterior.shape) * random_scale
-        posterior = posterior / posterior.sum(axis=1, keepdims=True)
-        log_posterior = jnp.log(posterior)
-        log_posterior = jnp.where(log_posterior == -jnp.inf, -1e40, log_posterior)
-        return log_posterior, posterior
+        return _init_posterior_uniform_noise(T, self.n_latent_bin, key, random_scale)
 
 
 class PoissonGPLVM1D(AbstractGPLVM1D):
@@ -212,15 +219,17 @@ class PoissonGPLVM1D(AbstractGPLVM1D):
             param_curr, opt_state_curr, hyperparam, tuning_basis, y_weighted,
             t_weighted,
         )
-        n_iter = adam_res["n_iter"]
+        # trim histories HOST-side: device-side slicing would compile a new
+        # shape-specialized op for every distinct Adam iteration count
+        n_iter = int(adam_res["n_iter"])
         return {
             "params": adam_res["params"],
             "opt_state": adam_res["opt_state"],
             "n_iter": n_iter,
             "final_loss": adam_res["final_loss"],
             "final_error": adam_res["final_error"],
-            "loss_history": adam_res["loss_history"][:n_iter],
-            "error_history": adam_res["error_history"][:n_iter],
+            "loss_history": __import__("numpy").asarray(adam_res["loss_history"])[:n_iter],
+            "error_history": __import__("numpy").asarray(adam_res["error_history"])[:n_iter],
         }
 
     def fit_em(
@@ -236,11 +245,11 @@ class PoissonGPLVM1D(AbstractGPLVM1D):
         hyperparam_["smoothness_penalty"] = hyperparam_.get(
             "smoothness_penalty", self.smoothness_penalty
         )
-        self.adam_runner, self.opt_state_init_fun = fth.make_adam_runner(
+        self.adam_runner, self.opt_state_init_fun = fth.make_adam_runner_cached(
             fth.poisson_m_step_objective_smoothness
             if self.basis_type == "bspline"
             else fth.poisson_m_step_objective,
-            step_size=m_step_step_size, maxiter=m_step_maxiter, tol=m_step_tol,
+            m_step_step_size, maxiter=m_step_maxiter, tol=m_step_tol,
         )
         opt_state_curr = self.opt_state_init_fun(self.params)
         return super().fit_em(

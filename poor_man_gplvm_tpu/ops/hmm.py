@@ -121,6 +121,26 @@ class LatentTransition:
         L = self.n_latent
         return (L, L)
 
+    # pallas engine ----------------------------------------------------
+    def pallas_filter(self, ll, p_init, likelihood_scale):
+        from poor_man_gplvm_tpu.ops.pallas import scan_kernels as sk
+
+        post, prior, ratios = sk.filter_chunk_pallas(
+            ll, self.T[None], jnp.ones((1, 1), dtype=self.T.dtype),
+            p_init[None], likelihood_scale,
+        )
+        return post[:, 0], prior[:, 0], ratios
+
+    def pallas_smooth(self, filt_xs, prior_xs, smooth_init):
+        from poor_man_gplvm_tpu.ops.pallas import scan_kernels as sk
+
+        smooth, r = sk.smoother_chunk_pallas(
+            filt_xs[:, None], prior_xs[:, None],
+            self.T[None], jnp.ones((1, 1), dtype=self.T.dtype),
+            smooth_init[None],
+        )
+        return smooth[:, 0], r[:, 0]
+
     # log-space engine (reference op order) ---------------------------
     def push_log(self, logp):
         return logsumexp(logp[:, None] + self.logT, axis=0)
@@ -191,6 +211,21 @@ class JointTransition:
     def joint_shape(self):
         n_dyn, L = self.n_dyn, self.n_latent
         return (n_dyn, n_dyn, L, L)
+
+    # pallas engine ----------------------------------------------------
+    def pallas_filter(self, ll, p_init, likelihood_scale):
+        from poor_man_gplvm_tpu.ops.pallas import scan_kernels as sk
+
+        return sk.filter_chunk_pallas(
+            ll, self.Tlat, self.Tdyn, p_init, likelihood_scale
+        )
+
+    def pallas_smooth(self, filt_xs, prior_xs, smooth_init):
+        from poor_man_gplvm_tpu.ops.pallas import scan_kernels as sk
+
+        return sk.smoother_chunk_pallas(
+            filt_xs, prior_xs, self.Tlat, self.Tdyn, smooth_init
+        )
 
     # log-space engine (reference op order) ---------------------------
     def push_log(self, logp):
@@ -295,8 +330,14 @@ def _filter_chunk(
         y, tuning, hyperparam, ma_neuron, ma_latent,
         observation_model=observation_model,
     )
-    scan_fn = _forward_scan_prob if engine == "prob" else _forward_scan_log
-    post, prior, ratios, carry_out = scan_fn(ll, trans, carry, likelihood_scale)
+    if engine == "pallas":
+        post, prior, ratios = trans.pallas_filter(ll, carry[0], likelihood_scale)
+        carry_out = (post[-1], carry[1] + ratios.sum())
+    else:
+        scan_fn = _forward_scan_prob if engine == "prob" else _forward_scan_log
+        post, prior, ratios, carry_out = scan_fn(
+            ll, trans, carry, likelihood_scale
+        )
     return post, prior, ratios, carry_out, ll
 
 
@@ -304,6 +345,11 @@ def _filter_chunk(
 def _backward_chunk(filt_xs, prior_xs, trans, carry, engine):
     if filt_xs.shape[0] == 0:  # T=1 sequence: nothing to smooth over
         return filt_xs, carry
+    if engine == "pallas":
+        smooth_init, acc_in = carry
+        smooth, r = trans.pallas_smooth(filt_xs, prior_xs, smooth_init)
+        acc = trans.outer_acc(filt_xs, r)
+        return smooth, (smooth[0], acc_in + acc)
     if engine == "prob":
         smooth_init, acc_in = carry
         smooth, acc = _backward_scan_prob(filt_xs, prior_xs, trans, smooth_init)
@@ -329,7 +375,7 @@ def filter_combined(
     if carry_init is None:
         log_init = trans.uniform_log_init()
         carry_init = (log_init, jnp.array(0.0, dtype=jnp.float32))
-    if engine == "prob":
+    if engine in ("prob", "pallas"):
         carry = (jnp.exp(carry_init[0]), carry_init[1])
     else:
         carry = carry_init
@@ -337,7 +383,7 @@ def filter_combined(
         y, tuning, hyperparam, trans, ma_neuron, ma_latent, carry,
         likelihood_scale, observation_model, engine,
     )
-    if engine == "prob":
+    if engine in ("prob", "pallas"):
         post, prior = prob_to_log(post), prob_to_log(prior)
     return post, carry_out[1], prior, ratios, ll
 
@@ -367,8 +413,10 @@ def smooth_combined_chunked(
     reference (decoder.py:315): chunk [a, b) pairs with priors [a+1, b+1),
     and the final timestep's smoothed posterior equals its filter posterior.
     """
-    if engine not in ("prob", "log"):
-        raise ValueError(f"engine must be 'prob' or 'log', got {engine!r}")
+    if engine not in ("prob", "log", "pallas"):
+        raise ValueError(
+            f"engine must be 'prob', 'log' or 'pallas', got {engine!r}"
+        )
     y = jnp.asarray(y)
     n_time_tot = y.shape[0]
     n_chunks = -(-n_time_tot // n_time_per_chunk)
@@ -390,7 +438,7 @@ def smooth_combined_chunked(
 
         if carry is None:
             log_init = trans.uniform_log_init()
-            if engine == "prob":
+            if engine in ("prob", "pallas"):
                 carry = (jnp.exp(log_init), jnp.array(0.0, dtype=jnp.float32))
             else:
                 carry = (log_init, jnp.array(0.0, dtype=jnp.float32))
@@ -420,7 +468,7 @@ def smooth_combined_chunked(
 
         if bwd_carry is None:  # last chunk: smoother starts from last filter post
             filt_xs = filt_chunk[:-1]
-            if engine == "prob":
+            if engine in ("prob", "pallas"):
                 bwd_carry = (
                     filt_chunk[-1],
                     jnp.zeros(trans.joint_shape(), dtype=jnp.float32),
@@ -444,7 +492,7 @@ def smooth_combined_chunked(
     post_all = jnp.concatenate(post_chunks, axis=0)
     acc = bwd_carry[1]
 
-    if engine == "prob":
+    if engine in ("prob", "pallas"):
         smooth_all = prob_to_log(smooth_all)
         post_all = prob_to_log(post_all)
         acc = prob_to_log(acc)

@@ -13,6 +13,8 @@ engines share one source of truth.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -101,6 +103,7 @@ def _row_normalize(val, log_val):
 # transition-probability builders
 # ---------------------------------------------------------------------------
 
+@jax.jit
 def create_transition_prob_1d(
     possible_latent_bin,
     possible_dynamics,
@@ -157,6 +160,7 @@ def create_transition_prob_1d(
     )
 
 
+@jax.jit
 def create_transition_prob_latent_1d(
     possible_latent_bin, movement_variance=1.0, custom_kernel=None
 ):

@@ -15,6 +15,8 @@ expectation of the log joint (reference fit_tuning_helper.py:79).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -32,6 +34,7 @@ __all__ = [
     "poisson_m_step_objective",
     "poisson_m_step_objective_smoothness",
     "make_adam_runner",
+    "make_adam_runner_cached",
     "tree_l2_norm",
 ]
 
@@ -171,3 +174,12 @@ def make_adam_runner(fun, step_size, maxiter=1000, tol=1e-6):
         }
 
     return run, opt.init
+
+
+@functools.lru_cache(maxsize=64)
+def make_adam_runner_cached(fun, step_size, maxiter=1000, tol=1e-6):
+    """Memoized make_adam_runner: the jitted while-loop runner is shared
+    across model instances / fit_em calls with the same optimizer config, so
+    repeated fits (sweeps!) skip its recompilation.  The reference rebuilds
+    (and recompiles) the runner on every fit_em call (core.py:841-846)."""
+    return make_adam_runner(fun, step_size, maxiter=maxiter, tol=tol)

@@ -115,7 +115,15 @@ class IntervalSet:
         return IntervalSet(np.array(starts), np.array(ends))
 
     def in_interval(self, t):
-        """Boolean mask of timestamps t falling inside any interval."""
+        """Interval membership.  Given raw timestamps, returns a boolean
+        mask; given a Tsd/TsdFrame (pynapple-compatible call), returns the
+        per-sample interval INDEX (NaN outside all intervals)."""
+        if isinstance(t, _TimeIndexed):
+            tt = np.asarray(t.t)
+            label = np.full(tt.shape, np.nan)
+            for k, (s, e) in enumerate(zip(self.start, self.end)):
+                label[(tt >= s) & (tt <= e)] = k
+            return label
         t = np.asarray(t)
         mask = np.zeros(t.shape, dtype=bool)
         for s, e in zip(self.start, self.end):
@@ -217,6 +225,23 @@ class Tsd(_TimeIndexed):
     def value_from(self, tsd):
         return Ts(self.t).value_from(tsd)
 
+    def interpolate(self, target):
+        """Linear interpolation of self's values at target's timestamps
+        (pynapple Tsd.interpolate subset: target is a time-indexed object)."""
+        t_new = np.asarray(target.t)
+        return Tsd(d=np.interp(t_new, self.t, np.asarray(self.d, dtype=float)),
+                   t=t_new)
+
+    def smooth(self, std):
+        """Gaussian smoothing with std in time units (pynapple subset)."""
+        from scipy.ndimage import gaussian_filter1d
+
+        dt = np.median(np.diff(self.t)) if len(self.t) > 1 else 1.0
+        return Tsd(
+            d=gaussian_filter1d(np.asarray(self.d, dtype=float), std / dt),
+            t=self.t, time_support=self.time_support,
+        )
+
     def to_numpy(self):
         return np.asarray(self.d)
 
@@ -270,6 +295,25 @@ class TsdFrame(_TimeIndexed):
         mask = ep.in_interval(self.t)
         return TsdFrame(d=self.d[mask], t=self.t[mask], time_support=ep)
 
+    def interpolate(self, target):
+        t_new = np.asarray(target.t)
+        d = np.asarray(self.d, dtype=float)
+        out = np.column_stack(
+            [np.interp(t_new, self.t, d[:, j]) for j in range(d.shape[1])]
+        )
+        return TsdFrame(d=out, t=t_new, columns=self.columns)
+
+    def smooth(self, std):
+        from scipy.ndimage import gaussian_filter1d
+
+        dt = np.median(np.diff(self.t)) if len(self.t) > 1 else 1.0
+        return TsdFrame(
+            d=gaussian_filter1d(
+                np.asarray(self.d, dtype=float), std / dt, axis=0
+            ),
+            t=self.t, columns=self.columns, time_support=self.time_support,
+        )
+
     def to_numpy(self):
         return np.asarray(self.d)
 
@@ -284,3 +328,103 @@ def _contiguous_runs(cond):
     starts = np.nonzero(diff == 1)[0]
     stops = np.nonzero(diff == -1)[0]
     return list(zip(starts, stops))
+
+
+class _PeriEvent:
+    """Result wrapper for compute_perievent_continuous (pynapple-compatible
+    .as_dataframe(): index = relative time, columns = events)."""
+
+    def __init__(self, values, rel_times):
+        self.d = values  # (n_rel_time, n_event)
+        self.rel_times = rel_times
+
+    def as_dataframe(self):
+        import pandas as pd
+
+        return pd.DataFrame(self.d, index=self.rel_times)
+
+
+def compute_perievent_continuous(timeseries, tref, minmax):
+    """Align a continuous signal around each event time (pynapple
+    compute_perievent_continuous subset): samples on the signal's own grid in
+    [t_ref - minmax, t_ref + minmax]. Returns (n_rel_time, n_event)."""
+    t = np.asarray(timeseries.t)
+    d = np.asarray(timeseries.d, dtype=float)
+    dt = np.median(np.diff(t)) if len(t) > 1 else 1.0
+    n_half = int(round(minmax / dt))
+    rel = (np.arange(2 * n_half + 1) - n_half) * dt
+    events = np.asarray(tref.t if hasattr(tref, "t") else tref)
+    out = np.full((len(rel), len(events)), np.nan)
+    for k, ev in enumerate(events):
+        c = int(np.argmin(np.abs(t - ev)))
+        lo, hi = c - n_half, c + n_half + 1
+        src_lo, src_hi = max(lo, 0), min(hi, len(t))
+        out[src_lo - lo : src_lo - lo + (src_hi - src_lo), k] = d[src_lo:src_hi]
+    return _PeriEvent(out, rel)
+
+
+def shift_timestamps(ts, min_shift=1.0, max_shift=10.0, rng=None):
+    """Circularly shift all timestamps by one random offset in
+    [min_shift, max_shift], wrapping inside the time support (pynapple
+    shift_timestamps subset)."""
+    rng = np.random.default_rng(rng)
+    lo = ts.time_support.start[0]
+    hi = ts.time_support.end[0]
+    shift = rng.uniform(min_shift, max_shift)
+    t_new = ts.t + shift
+    span = hi - lo
+    t_new = lo + np.mod(t_new - lo, span)
+    return Ts(np.sort(t_new), time_support=ts.time_support)
+
+
+class TsGroup:
+    """Minimal dict-of-spike-trains container (pynapple TsGroup subset):
+    restrict, count, rate."""
+
+    def __init__(self, data, time_support=None):
+        self.data = {k: (v if isinstance(v, Ts) else Ts(np.asarray(v)))
+                     for k, v in data.items()}
+        if time_support is None:
+            lo = min((ts.t[0] for ts in self.data.values() if len(ts)), default=0.0)
+            hi = max((ts.t[-1] for ts in self.data.values() if len(ts)), default=1.0)
+            time_support = IntervalSet(np.array([lo]), np.array([hi]))
+        self.time_support = time_support
+
+    def keys(self):
+        return self.data.keys()
+
+    def __getitem__(self, k):
+        return self.data[k]
+
+    def restrict(self, ep):
+        return TsGroup(
+            {k: Ts(ts.t[ep.in_interval(ts.t)]) for k, ts in self.data.items()},
+            time_support=ep,
+        )
+
+    def count(self, bin_size):
+        """Spike counts per unit in bins of bin_size over the time support.
+        Returns TsdFrame (n_bins, n_units) with bin-center timestamps."""
+        counts_l, t_l = [], None
+        edges_all, centers_all = [], []
+        for s, e in zip(self.time_support.start, self.time_support.end):
+            n_bins = max(int(np.ceil((e - s) / bin_size)), 1)
+            edges = s + np.arange(n_bins + 1) * bin_size
+            edges_all.append(edges)
+            centers_all.append(0.5 * (edges[:-1] + edges[1:]))
+        centers = np.concatenate(centers_all)
+        mat = np.zeros((len(centers), len(self.data)))
+        for j, (k, ts) in enumerate(self.data.items()):
+            offset = 0
+            for edges in edges_all:
+                h, _ = np.histogram(ts.t, bins=edges)
+                mat[offset : offset + len(h), j] = h
+                offset += len(h)
+        return TsdFrame(d=mat, t=centers, columns=list(self.data.keys()),
+                        time_support=self.time_support)
+
+    @property
+    def rate(self):
+        tot = self.time_support.tot_length()
+        return np.array([len(ts) / tot if tot > 0 else 0.0
+                         for ts in self.data.values()])

@@ -52,7 +52,7 @@ def _run(y, tuning, ma_neuron, ma_latent, trans, engine, chunk=10000, scale=1.0)
     )
 
 
-@pytest.mark.parametrize("engine", ["prob", "log"])
+@pytest.mark.parametrize("engine", ["prob", "log", "pallas"])
 def test_joint_vs_oracle(joint_setup, engine):
     y, tuning, ma_neuron, ma_latent, trans, ll = joint_setup
     M = joint_to_dense(trans.Tdyn, trans.Tlat)
@@ -82,7 +82,7 @@ def test_joint_vs_oracle(joint_setup, engine):
     )
 
 
-@pytest.mark.parametrize("engine", ["prob", "log"])
+@pytest.mark.parametrize("engine", ["prob", "log", "pallas"])
 def test_latent_vs_oracle(latent_setup, engine):
     y, tuning, ma_neuron, ma_latent, trans, ll = latent_setup
     M = np.asarray(trans.T, dtype=np.float64)
@@ -101,7 +101,7 @@ def test_latent_vs_oracle(latent_setup, engine):
     )
 
 
-@pytest.mark.parametrize("engine", ["prob", "log"])
+@pytest.mark.parametrize("engine", ["prob", "log", "pallas"])
 @pytest.mark.parametrize("chunk", [3, 7, T, 10000])
 def test_chunk_invariance_joint(joint_setup, engine, chunk):
     y, tuning, ma_neuron, ma_latent, trans, _ = joint_setup
