@@ -46,7 +46,11 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.special import logsumexp
 
-from poor_man_gplvm_tpu.ops.emissions import PRECISION, get_loglikelihood_ma_all
+from poor_man_gplvm_tpu.ops.emissions import (
+    PRECISION,
+    get_loglikelihood_ma_all,
+    get_loglikelihood_ma_all_changing_dt,
+)
 
 JOINT_ACC_INIT = -1e40  # reference decoder.py:240
 
@@ -324,12 +328,18 @@ def _backward_scan_log(log_filt_xs, log_prior_xs, trans, carry_init):
 @partial(jax.jit, static_argnames=["observation_model", "engine"])
 def _filter_chunk(
     y, tuning, hyperparam, trans, ma_neuron, ma_latent, carry,
-    likelihood_scale, observation_model, engine,
+    likelihood_scale, observation_model, engine, dt_l=None,
 ):
-    ll = get_loglikelihood_ma_all(
-        y, tuning, hyperparam, ma_neuron, ma_latent,
-        observation_model=observation_model,
-    )
+    if dt_l is None:
+        ll = get_loglikelihood_ma_all(
+            y, tuning, hyperparam, ma_neuron, ma_latent,
+            observation_model=observation_model,
+        )
+    else:
+        ll = get_loglikelihood_ma_all_changing_dt(
+            y, tuning, hyperparam, ma_neuron, ma_latent, dt_l,
+            observation_model=observation_model,
+        )
     if engine == "pallas":
         post, prior, ratios = trans.pallas_filter(ll, carry[0], likelihood_scale)
         carry_out = (post[-1], carry[1] + ratios.sum())
@@ -399,6 +409,7 @@ def smooth_combined_chunked(
     n_time_per_chunk=10000,
     observation_model="poisson",
     engine="prob",
+    dt_l=None,
 ):
     """Chunked forward-backward smoother — the E-step workhorse.
 
@@ -435,6 +446,7 @@ def smooth_combined_chunked(
             ma_chunk = ma_neuron[sl]
         else:
             ma_chunk = jnp.broadcast_to(ma_neuron, y_chunk.shape)
+        dt_chunk = None if dt_l is None else dt_l[sl]
 
         if carry is None:
             log_init = trans.uniform_log_init()
@@ -445,7 +457,7 @@ def smooth_combined_chunked(
 
         post, prior, ratios, carry, ll = _filter_chunk(
             y_chunk, tuning, hyperparam, trans, ma_chunk, ma_latent, carry,
-            likelihood_scale, observation_model, engine,
+            likelihood_scale, observation_model, engine, dt_chunk,
         )
         post_chunks.append(post)
         prior_chunks.append(prior)
