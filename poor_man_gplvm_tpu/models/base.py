@@ -218,7 +218,8 @@ class _GPLVMCommon(ABC):
         self, y, hyperparam=None, key=None, n_iter=20, log_posterior_init=None,
         opt_state_curr=None, ma_neuron=None, ma_latent=None,
         n_time_per_chunk=10000, dt=1.0, likelihood_scale=1.0, save_every=None,
-        posterior_init_kwargs=None, verboase=True, profile=False, **kwargs,
+        posterior_init_kwargs=None, verboase=True, profile=False,
+        checkpoint_dir=None, checkpoint_every=None, resume=False, **kwargs,
     ):
         hyperparam = {} if hyperparam is None else hyperparam
         key = jr.PRNGKey(0) if key is None else key
@@ -269,6 +270,27 @@ class _GPLVMCommon(ABC):
         log_marginal_l = []
         m_step_res_l = {}
         params = self.params
+        start_iter = 0
+
+        # durable checkpoint/resume (TPU-native equivalent of the
+        # reference's pickle-only persistence; SURVEY.md §5)
+        checkpointer = None
+        if checkpoint_dir is not None:
+            from poor_man_gplvm_tpu.utils.checkpoint import EMCheckpointer
+
+            checkpointer = EMCheckpointer(checkpoint_dir)
+            if checkpoint_every is None:
+                checkpoint_every = 1
+            if resume:
+                state = checkpointer.restore()
+                if state is not None:
+                    params = jnp.asarray(state["params"])
+                    if state.get("opt_state") is not None:
+                        opt_state_curr = jax.tree.map(
+                            jnp.asarray, state["opt_state"]
+                        )
+                    log_posterior_curr = jnp.asarray(state["log_posterior"])
+                    start_iter = int(state["step"]) + 1
 
         log_posterior_all_saved, params_saved = [], []
         tuning_saved, iter_saved, log_marginal_saved = [], [], []
@@ -277,7 +299,8 @@ class _GPLVMCommon(ABC):
 
         phase_times = {"m_step": [], "e_step": [], "collect": []}
 
-        for i in tqdm.trange(n_iter, desc="EM", disable=not verboase):
+        for i in tqdm.trange(start_iter, n_iter, desc="EM",
+                             disable=not verboase):
             t0 = _time.time()
             m_res = self.m_step(
                 params, y_, log_posterior_curr, tuning_basis, hyperparam,
@@ -306,7 +329,7 @@ class _GPLVMCommon(ABC):
                 jax.block_until_ready(log_posterior_curr)
             t2 = _time.time()
 
-            if i == 0:
+            if not m_step_res_l:
                 m_step_res_l = {k: [] for k in m_res.keys()}
             for k in m_res.keys():
                 if k not in ["params", "opt_state"]:
@@ -319,6 +342,17 @@ class _GPLVMCommon(ABC):
                 tuning_saved.append(tuning)
                 log_marginal_saved.append(log_marginal_final)
                 iter_saved.append(i)
+            if checkpointer is not None and i % checkpoint_every == 0:
+                checkpointer.save(
+                    i,
+                    {
+                        "step": i,
+                        "params": params,
+                        "opt_state": opt_state_curr,
+                        "log_posterior": log_posterior_curr,
+                        "rng": key,
+                    },
+                )
             t3 = _time.time()
             phase_times["m_step"].append(t1 - t0)
             phase_times["e_step"].append(t2 - t1)

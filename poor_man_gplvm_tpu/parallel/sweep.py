@@ -1,0 +1,230 @@
+"""Batched hyperparameter sweeps: one compiled program for the whole grid.
+
+The reference's model selection runs a serial Python loop over configs and
+chains (reference model_selection_helper.py:199-227, :54-60) — the main TPU
+fan-out surface (SURVEY.md §2.5, §3.5).  Here the entire (config x chain)
+batch runs as ONE vmapped device program: batched transition matrices,
+batched while-loop Adam M-steps, batched forward/backward scans.  Batching
+across the grid also amortizes the per-step scan overhead that dominates the
+single-sequence path.
+
+Swept hyperparameters must preserve static shapes; the transition-level
+parameters (movement_variance, p_move_to_jump, p_jump_to_move) and the
+M-step prior (param_prior_std) qualify.  tuning_lengthscale changes
+``n_basis`` (data-dependent SVD rank, reference core.py:54) — sweep it at
+the outer level via ``selection.model_selection_one_split``.
+
+With a mesh, the batch axis shards over ALL mesh devices (pure data
+parallelism — each (config, chain) is independent).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import optax
+from jax import lax
+from jax.scipy.special import logsumexp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from poor_man_gplvm_tpu.ops import kernels as gpk
+from poor_man_gplvm_tpu.ops import mstep as fth
+from poor_man_gplvm_tpu.ops.emissions import get_loglikelihood_ma_all
+from poor_man_gplvm_tpu.ops.hmm import (
+    JointTransition,
+    _backward_scan_prob,
+    _forward_scan_prob,
+    prob_to_log,
+)
+
+__all__ = ["expand_grid", "sweep_fit_poisson_jump"]
+
+
+def expand_grid(hyperparam_ranges, n_repeat=1, defaults=None):
+    """Cartesian grid -> flat per-run arrays (each config repeated
+    ``n_repeat`` times for independent chains).
+
+    Returns (dict of (B,) arrays over swept+default params, config_index
+    (B,), chain_index (B,))."""
+    import itertools
+
+    defaults = {
+        "movement_variance": 1.0,
+        "p_move_to_jump": 0.01,
+        "p_jump_to_move": 0.01,
+        "param_prior_std": 1.0,
+        **(defaults or {}),
+    }
+    keys = list(hyperparam_ranges.keys())
+    unsupported = set(keys) - set(defaults)
+    if unsupported:
+        raise ValueError(
+            f"sweep_fit_poisson_jump cannot sweep {sorted(unsupported)} "
+            "(shape-changing params like tuning_lengthscale must be swept at "
+            "the outer level)"
+        )
+    combos = list(itertools.product(*[hyperparam_ranges[k] for k in keys]))
+    n_cfg = len(combos)
+    B = n_cfg * n_repeat
+
+    out = {}
+    for name, default in defaults.items():
+        if name in keys:
+            col = np.array(
+                [combo[keys.index(name)] for combo in combos], dtype=np.float32
+            )
+        else:
+            col = np.full(n_cfg, default, dtype=np.float32)
+        out[name] = jnp.asarray(np.repeat(col, n_repeat))
+    config_index = np.repeat(np.arange(n_cfg), n_repeat)
+    chain_index = np.tile(np.arange(n_repeat), n_cfg)
+    return out, config_index, chain_index
+
+
+def _single_run_em(
+    y, basis, hp_scalars, key, n_iter, n_latent_bin, m_step_size, m_maxiter,
+    m_tol, likelihood_scale,
+):
+    """Full EM for one (config, chain): transition build, random posterior
+    init, n_iter x (Adam M-step -> forward/backward smooth)."""
+    _, log_lat_l, _, log_dyn = gpk.create_transition_prob_1d(
+        jnp.arange(n_latent_bin), jnp.arange(2),
+        hp_scalars["movement_variance"], hp_scalars["p_move_to_jump"],
+        hp_scalars["p_jump_to_move"],
+    )
+    trans = JointTransition(
+        jnp.exp(log_dyn), jnp.exp(log_lat_l), log_dyn, log_lat_l
+    )
+    T = y.shape[0]
+
+    # random posterior init (jump-family convention, reference core.py:571-583)
+    key, k_init, k_params = jr.split(key, 3)
+    posterior = jr.uniform(k_init, (T, n_latent_bin)) * 0.1
+    posterior = posterior / posterior.sum(axis=1, keepdims=True)
+    log_post = jnp.log(posterior)
+
+    n_basis = basis.shape[1]
+    params = jr.normal(k_params, (n_basis, y.shape[1]))
+
+    opt = optax.adam(m_step_size)
+    opt_state = opt.init(params)
+    hyperparam = {"param_prior_std": hp_scalars["param_prior_std"]}
+
+    def adam_mstep(params, opt_state, y_w, t_w):
+        def objective(p):
+            return fth.poisson_m_step_objective(p, hyperparam, basis, y_w, t_w)
+
+        def cond_fun(c):
+            i, _, _, loss, loss_prev = c
+            rel = jnp.abs(loss - loss_prev) / jnp.maximum(jnp.abs(loss), 1e-8)
+            return (i < (m_maxiter - 1)) & ((i < 5) | (rel > m_tol))
+
+        def body_fun(c):
+            i, p, s, loss, _ = c
+            new_loss, grads = jax.value_and_grad(objective)(p)
+            updates, s = opt.update(grads, s, p)
+            return (i + 1, optax.apply_updates(p, updates), s, new_loss, loss)
+
+        loss0 = objective(params)
+        _, params, opt_state, final_loss, _ = lax.while_loop(
+            cond_fun, body_fun, (0, params, opt_state, loss0, loss0)
+        )
+        return params, opt_state, final_loss
+
+    def em_iter(carry, _):
+        params, opt_state, log_post = carry
+        y_w, t_w = fth.get_statistics(log_post, y)
+        params, opt_state, final_loss = adam_mstep(params, opt_state, y_w, t_w)
+        tuning = fth.get_tuning_softplus(params, basis)
+
+        ll = get_loglikelihood_ma_all(
+            y, tuning, {}, jnp.ones_like(y), jnp.ones(n_latent_bin),
+            observation_model="poisson",
+        )
+        carry0 = (
+            jnp.exp(trans.uniform_log_init()), jnp.array(0.0, dtype=jnp.float32)
+        )
+        post_f, prior_f, ratios, (p_last, lml) = _forward_scan_prob(
+            ll, trans, carry0, likelihood_scale
+        )
+        smooth, _acc = _backward_scan_prob(
+            post_f[:-1], prior_f[1:], trans, post_f[-1]
+        )
+        smooth_full = jnp.concatenate([smooth, post_f[-1][None]], axis=0)
+        log_post_new = prob_to_log(smooth_full.sum(axis=1))
+        return (params, opt_state, log_post_new), (lml, final_loss)
+
+    (params, _, log_post), (lml_l, loss_l) = lax.scan(
+        em_iter, (params, opt_state, log_post), None, length=n_iter
+    )
+    tuning = fth.get_tuning_softplus(params, basis)
+    return {
+        "params": params,
+        "tuning": tuning,
+        "log_posterior_latent": log_post,
+        "log_marginal_l": lml_l,
+        "m_step_final_loss_l": loss_l,
+    }
+
+
+def sweep_fit_poisson_jump(
+    y,
+    hyperparam_ranges,
+    n_repeat=1,
+    n_iter=10,
+    n_latent_bin=100,
+    tuning_lengthscale=1.0,
+    key=None,
+    mesh=None,
+    m_step_size=0.01,
+    m_maxiter=100,
+    m_tol=1e-6,
+    likelihood_scale=1.0,
+):
+    """Fit the whole (config x chain) grid of PoissonGPLVMJump1D models in
+    one compiled vmapped program (optionally sharded over a mesh).
+
+    Returns dict with batched results (leading axis = runs), plus
+    ``config_index``/``chain_index`` mapping runs back to the grid and
+    ``grid`` (the per-run hyperparameter arrays)."""
+    key = jr.PRNGKey(0) if key is None else key
+    y = jnp.asarray(y, dtype=jnp.float32)
+    grid, config_index, chain_index = expand_grid(
+        hyperparam_ranges, n_repeat=n_repeat
+    )
+    B = len(config_index)
+    keys = jr.split(key, B)
+
+    from poor_man_gplvm_tpu.ops.basis import generate_basis
+
+    basis = generate_basis(tuning_lengthscale, n_latent_bin)
+
+    run = partial(
+        _single_run_em,
+        n_iter=n_iter, n_latent_bin=n_latent_bin, m_step_size=m_step_size,
+        m_maxiter=m_maxiter, m_tol=m_tol, likelihood_scale=likelihood_scale,
+    )
+
+    batched = jax.jit(
+        jax.vmap(lambda hp, k: run(y, basis, hp, k), in_axes=(0, 0))
+    )
+
+    if mesh is not None:
+        # pure DP: shard the run axis over every device in the mesh
+        flat_mesh = Mesh(
+            np.asarray(mesh.devices).reshape(-1), ("runs",)
+        )
+        sharding = NamedSharding(flat_mesh, P("runs"))
+        if B % len(flat_mesh.devices) == 0:
+            grid = jax.device_put(grid, sharding)
+            keys = jax.device_put(keys, sharding)
+
+    results = batched(grid, keys)
+    results["config_index"] = config_index
+    results["chain_index"] = chain_index
+    results["grid"] = grid
+    return results

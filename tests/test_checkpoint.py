@@ -1,0 +1,52 @@
+"""Checkpoint/resume: durable EM state round-trip."""
+
+import jax.random as jr
+import numpy as np
+import pytest
+
+import poor_man_gplvm_tpu as pmg
+from poor_man_gplvm_tpu.utils.checkpoint import EMCheckpointer
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    ck = EMCheckpointer(tmp_path / "ck")
+    state = {"step": 3, "params": np.arange(6.0).reshape(2, 3),
+             "opt_state": None, "log_posterior": np.ones((4, 5)),
+             "rng": np.array([0, 1], dtype=np.uint32)}
+    ck.save(3, state)
+    ck.save(5, dict(state, step=5))
+    assert ck.all_steps() == [3, 5]
+    got = ck.restore()
+    assert got["step"] == 5
+    np.testing.assert_array_equal(got["params"], state["params"])
+    got3 = ck.restore(3)
+    assert got3["step"] == 3
+    assert EMCheckpointer(tmp_path / "empty").restore() is None
+
+
+def test_fit_em_checkpoint_resume(tmp_path):
+    model = pmg.PoissonGPLVMJump1D(8, n_latent_bin=10, tuning_lengthscale=3.0)
+    _, y = model.sample(150, key=jr.PRNGKey(0))
+    ckdir = tmp_path / "em"
+
+    # full run for ground truth
+    ref = pmg.PoissonGPLVMJump1D(8, n_latent_bin=10, tuning_lengthscale=3.0)
+    em_full = ref.fit_em(y, key=jr.PRNGKey(1), n_iter=4, verboase=False)
+
+    # checkpointed run interrupted after 2 iters
+    m1 = pmg.PoissonGPLVMJump1D(8, n_latent_bin=10, tuning_lengthscale=3.0)
+    m1.fit_em(y, key=jr.PRNGKey(1), n_iter=2, verboase=False,
+              checkpoint_dir=str(ckdir))
+    ck = EMCheckpointer(ckdir)
+    assert ck.all_steps() == [0, 1]
+
+    # resume into a fresh instance and complete to 4 iters
+    m2 = pmg.PoissonGPLVMJump1D(8, n_latent_bin=10, tuning_lengthscale=3.0)
+    em_resumed = m2.fit_em(y, key=jr.PRNGKey(1), n_iter=4, verboase=False,
+                           checkpoint_dir=str(ckdir), resume=True)
+    # resumed run continues from step 2 and reaches a comparable solution
+    assert len(em_resumed["log_marginal_l"]) == 2  # iterations 2, 3
+    np.testing.assert_allclose(
+        float(em_resumed["log_marginal"]), float(em_full["log_marginal"]),
+        rtol=1e-3,
+    )
