@@ -25,6 +25,32 @@ from poor_man_gplvm_tpu.models.latent1d import (
 )
 from poor_man_gplvm_tpu.ops.basis import generate_basis
 
+# reference-compatible submodule surface (poor_man_gplvm/__init__.py:6-12)
+from poor_man_gplvm_tpu import (  # noqa: F401
+    analysis,
+    analysis_helper,
+    core,
+    data,
+    decoder,
+    decoder_latentonly,
+    distance_analysis,
+    experimental,
+    fit_tuning_helper,
+    gp_kernel,
+    initializer,
+    model_selection_helper,
+    pandas_util,
+    parallel,
+    plot_helper,
+    reactivation_analysis,
+    selection,
+    test,
+    trial_analysis,
+    utils,
+    validation,
+    verify_latent_jump,
+)
+
 __version__ = "0.1.0"
 
 __all__ = [

@@ -1,0 +1,122 @@
+"""Plotting layer: smoke tests on the Agg backend + file outputs."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+import pytest
+
+from poor_man_gplvm_tpu import plotting
+from poor_man_gplvm_tpu.utils.timeseries import IntervalSet, Tsd, TsdFrame
+
+
+@pytest.fixture(autouse=True)
+def _close_figs():
+    yield
+    plt.close("all")
+
+
+def test_save_fig(tmp_path):
+    fig, ax = plt.subplots()
+    ax.plot([0, 1], [0, 1])
+    paths = plotting.save_fig(fig, "t", fig_dir=str(tmp_path),
+                              fig_format=["png"])
+    assert all((tmp_path / "t.png").exists() for _ in paths)
+
+
+def test_mean_error_and_shuffle_dist():
+    rng = np.random.default_rng(0)
+    fig, ax = plotting.plot_mean_error_plot(rng.normal(size=(20, 30)))
+    assert len(ax.lines) == 1
+    fig2, ax2 = plotting.plot_shuffle_data_dist_with_thresh(
+        rng.normal(size=200), 2.5
+    )
+    assert len(ax2.lines) >= 2  # data line + threshold
+
+
+def test_subplots_wrapper():
+    fig, axs = plotting.subplots_wrapper(5)
+    assert axs.size >= 5
+
+
+def test_pynapple_dashboard():
+    t = np.arange(100) * 0.1
+    data = {
+        "trace": Tsd(d=np.sin(t), t=t),
+        "heat": TsdFrame(d=np.random.default_rng(0).random((100, 8)), t=t),
+        "raster": (t[::5], np.arange(20) % 4, np.arange(20)),
+    }
+    fig, axs, common = plotting.plot_pynapple_data_mpl(
+        data, add_scatter_to_heatmap=True
+    )
+    assert len(axs) == 3
+    assert float(common.start[0]) == 0.0
+
+
+def test_shades_and_scalebar():
+    fig, ax = plt.subplots()
+    ax.plot(np.arange(10))
+    plotting.shade_intervals(ax, IntervalSet(np.array([1.0]), np.array([3.0])))
+    plotting.add_vertical_shades_mpl(fig, [(5.0, 6.0)])
+    plotting.add_scalebar(ax, 0.1, 0.1, 0.2, label="1 s")
+    assert len(ax.patches) >= 2
+
+
+def test_data_shuffle_time_series_and_cdf():
+    rng = np.random.default_rng(0)
+    fig, ax = plotting.plot_data_shuffle_time_series(
+        rng.normal(size=21) + 3, rng.normal(size=(50, 21))
+    )
+    assert len(ax.lines) == 1
+    fig2, ax2, ks = plotting.plot_cdf_and_ks_test(
+        rng.normal(size=100), rng.normal(size=100) + 1
+    )
+    assert ks["p"] < 0.01
+
+
+def test_brain_state_and_prepost():
+    intervals = {
+        "REM": IntervalSet(np.array([0.0, 5.0]), np.array([1.0, 6.0])),
+        "NREM": IntervalSet(np.array([2.0]), np.array([4.0])),
+    }
+    fig, ax = plotting.plot_brain_state_intervals(intervals)
+    assert len(ax.get_yticklabels()) == 2
+
+    t = np.arange(100) * 0.1
+    tsd = Tsd(d=np.sin(t), t=t)
+    fig2, ax2 = plotting.pre_post_1d_timeseries_plot(
+        tsd, IntervalSet(np.array([0.0]), np.array([4.0])),
+        IntervalSet(np.array([5.0]), np.array([9.9])),
+    )
+    assert len(ax2.lines) == 2
+
+
+def test_tick_helpers():
+    fig, ax = plt.subplots()
+    ax.plot([0, 10], [-3.7, 7.2])
+    plotting.set_two_ticks(ax)
+    assert len(ax.get_yticks()) == 2
+    plotting.set_symmetric_ticks(ax)
+    ticks = ax.get_yticks()
+    assert len(ticks) == 3 and ticks[1] == 0 and ticks[0] == -ticks[2]
+
+
+def test_maze_and_paired():
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({"x": rng.random(100), "y": rng.random(100)})
+    fig, ax = plotting.plot_maze_background(df)
+    assert len(ax.lines) == 1
+    fig2, ax2 = plotting.plot_paired_line_median(rng.random((10, 5)))
+    assert len(ax2.lines) == 11
+    fig3, ax3 = plotting.plot_trajectories_on_maze_mark_events(
+        None, rng.random((3, 20)), rng.random((3, 20))
+    )
+    assert len(ax3.collections) >= 3
+
+
+def test_plotly_gated():
+    with pytest.raises(ImportError, match="plotly"):
+        plotting.plot_pynapple_data_plotly({})
