@@ -38,6 +38,7 @@ from poor_man_gplvm_tpu import (  # noqa: F401
     fit_tuning_helper,
     gp_kernel,
     initializer,
+    jump_analysis,
     model_selection_helper,
     pandas_util,
     parallel,
@@ -49,6 +50,7 @@ from poor_man_gplvm_tpu import (  # noqa: F401
     utils,
     validation,
     verify_latent_jump,
+    workflows,
 )
 
 __version__ = "0.1.0"

@@ -1,6 +1,11 @@
 """Post-fit analysis layer (reference L8: analysis_helper, distance_analysis,
 reactivation_analysis, trial_analysis)."""
 
+from poor_man_gplvm_tpu.analysis.ccg import (
+    compute_acg_counts,
+    compute_ccg_counts,
+    theta_skipping_index,
+)
 from poor_man_gplvm_tpu.analysis.distance import (
     compute_distance_lag,
     distance_vs_label_regression,
@@ -35,6 +40,9 @@ from poor_man_gplvm_tpu.analysis.trial import (
 
 __all__ = [
     "aggregate_within_ripple_per_epoch",
+    "compute_acg_counts",
+    "compute_ccg_counts",
+    "theta_skipping_index",
     "circular_shuffle_column_independently",
     "circular_shuffle_spikes_within_epoch_and_decode",
     "compute_distance_lag",

@@ -150,13 +150,14 @@ class _GPLVMCommon(ABC):
         return params_init, tuning_init
 
     def _smooth(self, y, tuning, hyperparam, trans, ma_neuron, ma_latent,
-                likelihood_scale, n_time_per_chunk):
+                likelihood_scale, n_time_per_chunk, **smooth_kwargs):
         return hmm.smooth_combined_chunked(
             y, tuning, hyperparam, trans, ma_neuron, ma_latent,
             likelihood_scale=likelihood_scale,
             n_time_per_chunk=n_time_per_chunk,
             observation_model=self.observation_model,
             engine=self.inference_engine,
+            **smooth_kwargs,
         )
 
     def predict_expected_rate(self, post_latent_marg, tuning=None):
@@ -219,8 +220,15 @@ class _GPLVMCommon(ABC):
         opt_state_curr=None, ma_neuron=None, ma_latent=None,
         n_time_per_chunk=10000, dt=1.0, likelihood_scale=1.0, save_every=None,
         posterior_init_kwargs=None, verboase=True, profile=False,
-        checkpoint_dir=None, checkpoint_every=None, resume=False, **kwargs,
+        checkpoint_dir=None, checkpoint_every=None, resume=False,
+        output_mode="full", **kwargs,
     ):
+        """output_mode='lean' (for T x L scales beyond single-chip HBM):
+        the E-step emits only the latent/dynamics marginal posteriors
+        (memory_mode='checkpoint' + marginal smoothing), em_res's
+        log_posterior_final/posterior hold the LATENT-MARGINAL (T, L)
+        posterior, posterior_dynamics_marg is still exact, and
+        log_posterior_init is not retained."""
         hyperparam = {} if hyperparam is None else hyperparam
         key = jr.PRNGKey(0) if key is None else key
         posterior_init_kwargs = (
@@ -311,20 +319,42 @@ class _GPLVMCommon(ABC):
             t1 = _time.time()
             params = m_res["params"]
             opt_state_curr = m_res.get("opt_state", None)
+            if output_mode == "lean":
+                # the init posterior was consumed by iteration 0's M-step and
+                # lean mode does not retain it in em_res — free the buffer
+                log_posterior_init = None
 
             tuning = self.get_tuning(params, hyperparam, tuning_basis)
-            (
-                log_posterior_all, log_marginal_final, _log_causal,
-                _log_pred, _log_acc, _ll,
-            ) = self._smooth(
-                y_, tuning, hyperparam, trans, ma_neuron, ma_latent,
-                likelihood_scale, n_time_per_chunk,
-            )
-
-            if self.has_dynamics:
-                log_posterior_curr = logsumexp(log_posterior_all, axis=1)
-            else:
+            # release the previous iteration's posteriors before the E-step
+            # allocates the new ones (matters at T ~ 1e6 x L ~ 500 scales)
+            if i > start_iter and i % save_every != 0:
+                log_posterior_all = None
+            log_posterior_curr = None
+            if output_mode == "lean":
+                lean_dyn_marg = None
+                (
+                    smooth_out, log_marginal_final, _log_causal,
+                    _log_pred, _log_acc, _ll,
+                ) = self._smooth(
+                    y_, tuning, hyperparam, trans, ma_neuron, ma_latent,
+                    likelihood_scale, n_time_per_chunk,
+                    memory_mode="checkpoint", marginal_smooth=True,
+                )
+                log_posterior_all, lean_dyn_marg = smooth_out
                 log_posterior_curr = log_posterior_all
+            else:
+                (
+                    log_posterior_all, log_marginal_final, _log_causal,
+                    _log_pred, _log_acc, _ll,
+                ) = self._smooth(
+                    y_, tuning, hyperparam, trans, ma_neuron, ma_latent,
+                    likelihood_scale, n_time_per_chunk,
+                )
+
+                if self.has_dynamics:
+                    log_posterior_curr = logsumexp(log_posterior_all, axis=1)
+                else:
+                    log_posterior_curr = log_posterior_all
             if profile:
                 jax.block_until_ready(log_posterior_curr)
             t2 = _time.time()
@@ -368,6 +398,7 @@ class _GPLVMCommon(ABC):
 
         # stay on device: transfers to host happen lazily on access
         # (np.asarray), which matters when the host link is slow
+        log_posterior_curr = None
         posterior = jnp.exp(log_posterior_all)
         em_res = {
             "log_posterior_all_saved": log_posterior_all_saved,
@@ -386,7 +417,12 @@ class _GPLVMCommon(ABC):
         }
         if profile:
             em_res["profile"] = phase_times
-        if self.has_dynamics:
+        if self.has_dynamics and output_mode == "lean":
+            posterior_latent_marg = posterior  # already the latent marginal
+            posterior_dynamics_marg = jnp.exp(lean_dyn_marg)
+            em_res["posterior_latent_marg"] = posterior_latent_marg
+            em_res["posterior_dynamics_marg"] = posterior_dynamics_marg
+        elif self.has_dynamics:
             posterior_latent_marg = jnp.sum(posterior, axis=1)
             posterior_dynamics_marg = jnp.sum(posterior, axis=2)
             if compat.is_tsdframe(y):

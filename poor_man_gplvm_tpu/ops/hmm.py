@@ -43,6 +43,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.scipy.special import logsumexp
 
@@ -109,6 +110,9 @@ class LatentTransition:
 
     def latent_marginal_log(self, logp):
         return logp
+
+    def split_marginals(self, p):
+        return p, None
 
     # probability-space engine ----------------------------------------
     def push(self, p):
@@ -197,6 +201,9 @@ class JointTransition:
 
     def latent_marginal_log(self, logp):
         return logsumexp(logp, axis=-2)
+
+    def split_marginals(self, p):
+        return p.sum(axis=-2), p.sum(axis=-1)
 
     # probability-space engine ----------------------------------------
     def push(self, p):
@@ -410,6 +417,8 @@ def smooth_combined_chunked(
     observation_model="poisson",
     engine="prob",
     dt_l=None,
+    memory_mode="auto",
+    marginal_smooth=False,
 ):
     """Chunked forward-backward smoother — the E-step workhorse.
 
@@ -423,6 +432,14 @@ def smooth_combined_chunked(
     The backward pass consumes the +1-shifted causal prior exactly as the
     reference (decoder.py:315): chunk [a, b) pairs with priors [a+1, b+1),
     and the final timestep's smoothed posterior equals its filter posterior.
+
+    ``memory_mode``: 'full' stores the filter posteriors/priors/likelihoods
+    for the whole sequence (reference behaviour); 'checkpoint' stores only
+    per-chunk boundary carries and RECOMPUTES the filter during the backward
+    pass (exact, ~2x filter compute, O(chunk) extra memory instead of
+    O(T)) — under 'checkpoint' the returned log_causal_posterior_all and
+    log_likelihood_all are None.  'auto' picks 'checkpoint' when the full
+    footprint would exceed ~4 GB (prob/pallas engines only).
     """
     if engine not in ("prob", "log", "pallas"):
         raise ValueError(
@@ -435,6 +452,25 @@ def smooth_combined_chunked(
     ma_neuron = jnp.asarray(ma_neuron, dtype=jnp.float32)
     if ma_latent is None:
         ma_latent = jnp.ones(tuning.shape[0], dtype=jnp.float32)
+
+    if memory_mode == "auto":
+        state_size = int(np.prod(trans.uniform_log_init().shape))
+        est_bytes = n_time_tot * (3 * state_size + tuning.shape[0]) * 4
+        memory_mode = (
+            "checkpoint"
+            if est_bytes > 4e9 and engine in ("prob", "pallas")
+            else "full"
+        )
+    if memory_mode == "checkpoint" and engine == "log":
+        raise ValueError("memory_mode='checkpoint' requires engine prob/pallas")
+    if memory_mode == "checkpoint":
+        return _smooth_chunked_checkpoint(
+            y, tuning, hyperparam, trans, ma_neuron, ma_latent,
+            likelihood_scale, n_time_per_chunk, observation_model, engine,
+            dt_l, marginal_smooth=marginal_smooth,
+        )
+    if marginal_smooth:
+        raise ValueError("marginal_smooth requires memory_mode='checkpoint'")
 
     # ---- forward pass over chunks ----
     carry = None
@@ -510,6 +546,102 @@ def smooth_combined_chunked(
         acc = prob_to_log(acc)
 
     return smooth_all, log_marginal_final, post_all, ratios_all, acc, ll_all
+
+
+def _smooth_chunked_checkpoint(
+    y, tuning, hyperparam, trans, ma_neuron, ma_latent, likelihood_scale,
+    n_time_per_chunk, observation_model, engine, dt_l,
+    marginal_smooth=False,
+):
+    """Activation-checkpointed two-pass smoother: forward pass stores only
+    each chunk's input carry, per-step marginal ratios and first prior row;
+    the backward pass recomputes each chunk's filter from its carry.  Exact
+    (the recomputation reproduces the forward pass bit-for-bit)."""
+    n_time_tot = y.shape[0]
+    n_chunks = -(-n_time_tot // n_time_per_chunk)
+
+    def chunk_inputs(n):
+        sl = slice(n * n_time_per_chunk, (n + 1) * n_time_per_chunk)
+        y_chunk = y[sl]
+        if ma_neuron.ndim == 2:
+            ma_chunk = ma_neuron[sl]
+        else:
+            ma_chunk = jnp.broadcast_to(ma_neuron, y_chunk.shape)
+        dt_chunk = None if dt_l is None else dt_l[sl]
+        return y_chunk, ma_chunk, dt_chunk
+
+    # ---- forward: keep carries + ratios + first-prior rows only ----
+    carry = (
+        jnp.exp(trans.uniform_log_init()), jnp.array(0.0, dtype=jnp.float32)
+    )
+    chunk_carries = []
+    first_priors = []
+    ratio_chunks = []
+    for n in range(n_chunks):
+        chunk_carries.append(carry)
+        y_chunk, ma_chunk, dt_chunk = chunk_inputs(n)
+        post, prior, ratios, carry, _ll = _filter_chunk(
+            y_chunk, tuning, hyperparam, trans, ma_chunk, ma_latent, carry,
+            likelihood_scale, observation_model, engine, dt_chunk,
+        )
+        first_priors.append(prior[0])
+        ratio_chunks.append(ratios)
+        del post, prior, _ll
+    log_marginal_final = carry[1]
+    ratios_all = jnp.concatenate(ratio_chunks, axis=0)
+
+    # ---- backward: recompute filter per chunk, smooth, accumulate ----
+    smooth_chunks = [None] * n_chunks
+    bwd_carry = None
+    for n in range(n_chunks - 1, -1, -1):
+        y_chunk, ma_chunk, dt_chunk = chunk_inputs(n)
+        post, prior, _r, _c, _ll = _filter_chunk(
+            y_chunk, tuning, hyperparam, trans, ma_chunk, ma_latent,
+            chunk_carries[n], likelihood_scale, observation_model, engine,
+            dt_chunk,
+        )
+        del _r, _c, _ll
+        if bwd_carry is None:  # globally last chunk
+            filt_xs = post[:-1]
+            prior_shifted = prior[1:]
+            bwd_carry = (
+                post[-1], jnp.zeros(trans.joint_shape(), dtype=jnp.float32)
+            )
+            smooth, bwd_carry = _backward_chunk(
+                filt_xs, prior_shifted, trans, bwd_carry, engine
+            )
+            smooth = jnp.concatenate([smooth, post[-1][None]], axis=0)
+        else:
+            prior_shifted = jnp.concatenate(
+                [prior[1:], first_priors[n + 1][None]], axis=0
+            )
+            smooth, bwd_carry = _backward_chunk(
+                post, prior_shifted, trans, bwd_carry, engine
+            )
+        # convert per chunk: keeps the conversion transients O(chunk)
+        if marginal_smooth:
+            lat_m, dyn_m = trans.split_marginals(smooth)
+            smooth_chunks[n] = (
+                prob_to_log(lat_m),
+                None if dyn_m is None else prob_to_log(dyn_m),
+            )
+        else:
+            smooth_chunks[n] = prob_to_log(smooth)
+        del post, prior, smooth
+
+    if marginal_smooth:
+        lat_all = jnp.concatenate([c[0] for c in smooth_chunks], axis=0)
+        if smooth_chunks[0][1] is None:
+            smooth_all = (lat_all, None)
+        else:
+            smooth_all = (
+                lat_all,
+                jnp.concatenate([c[1] for c in smooth_chunks], axis=0),
+            )
+    else:
+        smooth_all = jnp.concatenate(smooth_chunks, axis=0)
+    acc = prob_to_log(bwd_carry[1])
+    return smooth_all, log_marginal_final, None, ratios_all, acc, None
 
 
 # ---------------------------------------------------------------------------

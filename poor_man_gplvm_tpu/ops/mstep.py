@@ -52,14 +52,32 @@ def get_tuning_softplus(params, basis):
 
 
 @jax.jit
-def get_statistics(log_posterior_probs, y):
-    """Posterior-weighted observation and occupancy per latent bin
-    (reference fit_tuning_helper.py:28-42).
-
-    Returns (y_weighted (L, N), t_weighted (L,))."""
+def _get_statistics_block(log_posterior_probs, y):
     posterior_probs = jnp.exp(log_posterior_probs)
     y_weighted = jnp.matmul(posterior_probs.T, y, precision=PRECISION)
     t_weighted = posterior_probs.sum(axis=0)
+    return y_weighted, t_weighted
+
+
+def get_statistics(log_posterior_probs, y, n_time_per_chunk=200_000):
+    """Posterior-weighted observation and occupancy per latent bin
+    (reference fit_tuning_helper.py:28-42).
+
+    Accumulated over time chunks so the exp + high-precision matmul
+    transients stay O(chunk) at T ~ 1e6 scales (results identical up to
+    float summation order).  Returns (y_weighted (L, N), t_weighted (L,))."""
+    T = log_posterior_probs.shape[0]
+    if T <= n_time_per_chunk:
+        return _get_statistics_block(log_posterior_probs, y)
+    y_weighted = None
+    for start in range(0, T, n_time_per_chunk):
+        sl = slice(start, start + n_time_per_chunk)
+        yw, tw = _get_statistics_block(log_posterior_probs[sl], y[sl])
+        if y_weighted is None:
+            y_weighted, t_weighted = yw, tw
+        else:
+            y_weighted = y_weighted + yw
+            t_weighted = t_weighted + tw
     return y_weighted, t_weighted
 
 

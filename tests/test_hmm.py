@@ -168,3 +168,43 @@ def test_transition_posterior_extraction(joint_setup):
     np.testing.assert_allclose(
         np.asarray(res["p_transition_dynamics"]).sum(axis=1), 1.0, rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("engine", ["prob", "pallas"])
+def test_checkpoint_memory_mode_exact(joint_setup, engine):
+    """Activation-checkpointed smoothing is bit-identical to full storage."""
+    y, tuning, ma_neuron, ma_latent, trans, _ = joint_setup
+    full = hmm.smooth_combined_chunked(
+        y, tuning, {}, trans, ma_neuron, ma_latent, n_time_per_chunk=5,
+        engine=engine, memory_mode="full",
+    )
+    ck = hmm.smooth_combined_chunked(
+        y, tuning, {}, trans, ma_neuron, ma_latent, n_time_per_chunk=5,
+        engine=engine, memory_mode="checkpoint",
+    )
+    np.testing.assert_array_equal(np.asarray(ck[0]), np.asarray(full[0]))
+    np.testing.assert_array_equal(np.asarray(ck[4]), np.asarray(full[4]))
+    assert float(ck[1]) == float(full[1])
+    assert ck[2] is None and ck[5] is None
+
+
+def test_checkpoint_marginal_smooth(joint_setup):
+    y, tuning, ma_neuron, ma_latent, trans, _ = joint_setup
+    full = hmm.smooth_combined_chunked(
+        y, tuning, {}, trans, ma_neuron, ma_latent, n_time_per_chunk=5,
+    )
+    (lat_m, dyn_m), lml, _, ratios, acc, _ = hmm.smooth_combined_chunked(
+        y, tuning, {}, trans, ma_neuron, ma_latent, n_time_per_chunk=5,
+        memory_mode="checkpoint", marginal_smooth=True,
+    )
+    from jax.scipy.special import logsumexp
+
+    np.testing.assert_allclose(
+        np.exp(np.asarray(lat_m)),
+        np.exp(np.asarray(logsumexp(full[0], axis=1))), rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.exp(np.asarray(dyn_m)),
+        np.exp(np.asarray(logsumexp(full[0], axis=2))), rtol=1e-5, atol=1e-7,
+    )
+    assert float(lml) == float(full[1])

@@ -215,3 +215,54 @@ def test_tsdframe_passthrough(sim_jump):
     np.testing.assert_allclose(res["posterior_latent_marg"].t, t_l)
     em = model.fit_em(y_tsd, n_iter=1, verboase=False)
     assert compat.is_tsdframe(em["posterior_latent_marg"])
+
+
+def test_lean_output_mode(sim_jump):
+    """output_mode='lean' gives the same marginal posteriors and log
+    marginals as the full path."""
+    _, _, spk = sim_jump
+
+    def fresh():
+        return pmg.PoissonGPLVMJump1D(
+            N_NEURON, n_latent_bin=N_LATENT, movement_variance=1,
+            tuning_lengthscale=3.0,
+        )
+
+    # single iteration: identical up to the marginalization float path
+    # (prob-space sum in lean vs logsumexp-of-logs in full); multi-iteration
+    # trajectories diverge slightly because EM amplifies those last-ulp
+    # differences through the M-step
+    em_full = fresh().fit_em(spk, key=jr.PRNGKey(3), n_iter=1, verboase=False)
+    em_lean = fresh().fit_em(
+        spk, key=jr.PRNGKey(3), n_iter=1, verboase=False, output_mode="lean"
+    )
+    np.testing.assert_allclose(
+        float(em_lean["log_marginal"]), float(em_full["log_marginal"]),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(em_lean["posterior_latent_marg"]),
+        np.asarray(em_full["posterior_latent_marg"]), rtol=1e-4, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(em_lean["posterior_dynamics_marg"]),
+        np.asarray(em_full["posterior_dynamics_marg"]), rtol=1e-4, atol=1e-7,
+    )
+    assert em_lean["log_posterior_init"] is None
+    assert em_lean["posterior"].shape == (T, N_LATENT)
+
+    # multi-iteration: log marginals stay within float-trajectory tolerance
+    lml_full = [
+        float(v)
+        for v in fresh().fit_em(
+            spk, key=jr.PRNGKey(3), n_iter=3, verboase=False
+        )["log_marginal_l"]
+    ]
+    lml_lean = [
+        float(v)
+        for v in fresh().fit_em(
+            spk, key=jr.PRNGKey(3), n_iter=3, verboase=False,
+            output_mode="lean",
+        )["log_marginal_l"]
+    ]
+    np.testing.assert_allclose(lml_lean, lml_full, rtol=5e-5)
