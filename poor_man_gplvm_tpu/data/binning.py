@@ -38,7 +38,7 @@ def smooth_and_zscore(matrix, sigma=0.0, zscore=False):
 
 def bin_spikes_sliding(
     spike_times, spike_clusters, window_size=1.0, step_size=0.5,
-    rates=False, sigma=0.0, zscore=False, t_origin=0.0,
+    rates=False, sigma=0.0, zscore=False, t_origin=0.0, use_native=None,
 ):
     """Start-aligned sliding-window binning (each spike counted once, in the
     window whose start index is ``floor(t / step)``) — the convention of the
@@ -62,6 +62,28 @@ def bin_spikes_sliding(
     num_windows = 1 + int(np.floor((recording_duration - window_size) / step_size))
     time_bins = np.arange(num_windows, dtype=np.float64) * step_size
 
+    units, rows = np.unique(spike_clusters, return_inverse=True)
+    if use_native is None:
+        use_native = spike_times.size > 100_000
+    if use_native:
+        from poor_man_gplvm_tpu.data import native
+
+        if native.available():
+            matrix = native.bin_sliding_native(
+                spike_times, rows, window_size, step_size, num_windows,
+                units.size,
+            )
+            # NOTE: unlike the numpy path, units without surviving spikes
+            # keep their (all-zero) row; drop them for parity with the
+            # reference's post-filter np.unique (core.py:187)
+            keep = matrix.sum(axis=1) > 0
+            if not keep.all():
+                matrix, units = matrix[keep], units[keep]
+            if rates:
+                matrix = matrix / float(window_size)
+            matrix = smooth_and_zscore(matrix, sigma=sigma, zscore=zscore)
+            return matrix, time_bins, units
+
     start_idx = np.floor(spike_times / step_size).astype(np.int64)
     valid = (start_idx >= 0) & (start_idx < num_windows)
     start_idx, st_v, clu_v = (
@@ -84,7 +106,7 @@ def bin_spikes_sliding(
 
 def compute_spike_counts(
     spike_times, spike_clusters, window_size=1.0, step_size=1.0,
-    sigma=0.0, zscore=False,
+    sigma=0.0, zscore=False, use_native=None,
 ):
     """Overlapping-window counting: each spike is added to EVERY window
     containing it (window k covers [t0 + k*step, t0 + k*step + window)) —
@@ -114,6 +136,18 @@ def compute_spike_counts(
     time_bins = t_start + np.arange(num_windows, dtype=np.float64) * step_size
 
     units, rows = np.unique(spike_clusters, return_inverse=True)
+    if use_native is None:
+        use_native = spike_times.size > 100_000
+    if use_native:
+        from poor_man_gplvm_tpu.data import native
+
+        if native.available():
+            matrix = native.bin_overlapping_native(
+                spike_times, rows, t_start, window_size, step_size,
+                num_windows, units.size,
+            )
+            matrix = smooth_and_zscore(matrix, sigma=sigma, zscore=zscore)
+            return matrix, time_bins, units
     matrix = np.zeros((units.size, num_windows), dtype=np.float64)
 
     rel = spike_times - t_start

@@ -263,3 +263,23 @@ def test_align_brain_and_behavior():
     assert df["trial_id"].iloc[-1] == 1
     # position in cm (divided by 5.1)
     assert df["x"].max() < 100
+
+
+def test_native_binning_matches_numpy():
+    """C++ binning kernels produce bit-identical counts to the numpy path."""
+    from poor_man_gplvm_tpu.data import native
+
+    if not native.available():
+        pytest.skip("no native compiler available")
+    rng = np.random.default_rng(0)
+    st = np.sort(rng.uniform(0, 50, 5000))
+    cl = rng.integers(0, 9, 5000)
+    for fn, kw in [
+        (pdata.bin_spikes_sliding, dict(window_size=0.5, step_size=0.25)),
+        (pdata.compute_spike_counts, dict(window_size=1.0, step_size=0.25)),
+    ]:
+        m_np, tb_np, u_np = fn(st, cl, use_native=False, **kw)
+        m_nat, tb_nat, u_nat = fn(st, cl, use_native=True, **kw)
+        np.testing.assert_array_equal(u_np, u_nat)
+        np.testing.assert_allclose(tb_np, tb_nat)
+        np.testing.assert_array_equal(m_np, m_nat)
