@@ -81,6 +81,23 @@ def prob_to_log(p, floor=JOINT_ACC_INIT):
 # ---------------------------------------------------------------------------
 
 
+def _uniform_row_flags(mats):
+    """Static per-matrix flags: True when every row of a (stack of)
+    transition matrices is identical (the jump channel's uniform law) —
+    lets the Pallas kernels replace that channel's matvec with a scalar
+    sum.  Concrete matrices only; tracers get all-False."""
+    try:
+        arr = np.asarray(mats)
+    except Exception:
+        return tuple(False for _ in range(mats.shape[0]))
+    if arr.ndim == 2:
+        arr = arr[None]
+    return tuple(
+        bool(np.all(np.abs(arr[d] - arr[d][0:1, :]) < 1e-12))
+        for d in range(arr.shape[0])
+    )
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class LatentTransition:
@@ -88,13 +105,20 @@ class LatentTransition:
 
     T: jnp.ndarray  # (L, L) row-normalized, prob space; T[i, j] = p(j | i)
     logT: jnp.ndarray  # (L, L)
+    uniform_rows: tuple = None
+
+    def __post_init__(self):
+        if self.uniform_rows is None:
+            object.__setattr__(
+                self, "uniform_rows", _uniform_row_flags(self.T)
+            )
 
     def tree_flatten(self):
-        return (self.T, self.logT), None
+        return (self.T, self.logT), self.uniform_rows
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, uniform_rows=aux)
 
     # shapes / inits ---------------------------------------------------
     @property
@@ -135,7 +159,7 @@ class LatentTransition:
 
         post, prior, ratios = sk.filter_chunk_pallas(
             ll, self.T[None], jnp.ones((1, 1), dtype=self.T.dtype),
-            p_init[None], likelihood_scale,
+            p_init[None], likelihood_scale, uniform_rows=self.uniform_rows,
         )
         return post[:, 0], prior[:, 0], ratios
 
@@ -145,7 +169,7 @@ class LatentTransition:
         smooth, r = sk.smoother_chunk_pallas(
             filt_xs[:, None], prior_xs[:, None],
             self.T[None], jnp.ones((1, 1), dtype=self.T.dtype),
-            smooth_init[None],
+            smooth_init[None], uniform_rows=self.uniform_rows,
         )
         return smooth[:, 0], r[:, 0]
 
@@ -175,13 +199,22 @@ class JointTransition:
     Tlat: jnp.ndarray  # (n_dyn, L, L); Tlat[e, i, j] = p(j | i, dyn=e)
     logTdyn: jnp.ndarray
     logTlat: jnp.ndarray
+    uniform_rows: tuple = None
+
+    def __post_init__(self):
+        if self.uniform_rows is None:
+            object.__setattr__(
+                self, "uniform_rows", _uniform_row_flags(self.Tlat)
+            )
 
     def tree_flatten(self):
-        return (self.Tdyn, self.Tlat, self.logTdyn, self.logTlat), None
+        return (
+            self.Tdyn, self.Tlat, self.logTdyn, self.logTlat,
+        ), self.uniform_rows
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, uniform_rows=aux)
 
     # shapes / inits ---------------------------------------------------
     @property
@@ -228,14 +261,16 @@ class JointTransition:
         from poor_man_gplvm_tpu.ops.pallas import scan_kernels as sk
 
         return sk.filter_chunk_pallas(
-            ll, self.Tlat, self.Tdyn, p_init, likelihood_scale
+            ll, self.Tlat, self.Tdyn, p_init, likelihood_scale,
+            uniform_rows=self.uniform_rows,
         )
 
     def pallas_smooth(self, filt_xs, prior_xs, smooth_init):
         from poor_man_gplvm_tpu.ops.pallas import scan_kernels as sk
 
         return sk.smoother_chunk_pallas(
-            filt_xs, prior_xs, self.Tlat, self.Tdyn, smooth_init
+            filt_xs, prior_xs, self.Tlat, self.Tdyn, smooth_init,
+            uniform_rows=self.uniform_rows,
         )
 
     # log-space engine (reference op order) ---------------------------

@@ -37,6 +37,20 @@ DEFAULT_BLOCK_T = 256
 LANE = 128
 
 
+def _detect_uniform_rows(tlat):
+    """Static per-dynamics flags: True when every row of Tlat[d] is the
+    same (e.g. the jump channel's uniform transition).  Evaluated host-side
+    on concrete matrices; traced inputs fall back to the general path."""
+    try:
+        arr = np.asarray(tlat)
+    except Exception:
+        return tuple(False for _ in range(tlat.shape[0]))
+    flags = []
+    for d in range(arr.shape[0]):
+        flags.append(bool(np.all(np.abs(arr[d] - arr[d][0:1, :]) < 1e-12)))
+    return tuple(flags)
+
+
 def _interpret():
     # off-TPU (tests on the 8-device CPU mesh) run the kernels interpreted
     return jax.default_backend() != "tpu"
@@ -52,8 +66,12 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 
-def _filter_kernel(ll_ref, tlat_ref, tdyn_ref, init_ref, scale_ref,
-                   post_ref, prior_ref, carry_ref, *, n_dyn, block_t):
+def _filter_kernel(w_ref, tlat_ref, tdyn_ref, init_ref,
+                   post_ref, prior_ref, carry_ref, *, n_dyn, block_t,
+                   uniform_rows):
+    # the likelihood enters as PRE-COMPUTED max-shifted weights
+    # w = exp(scale * (ll - rowmax)) — hoisting the transcendental out of
+    # the sequential critical path (it is vectorized over T outside)
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -61,22 +79,26 @@ def _filter_kernel(ll_ref, tlat_ref, tdyn_ref, init_ref, scale_ref,
         carry_ref[:] = init_ref[:]
 
     def body(t, _):
-        ll_t = ll_ref[pl.ds(t, 1), :]  # (1, Lp)
-        scale = scale_ref[0]
+        w = w_ref[pl.ds(t, 1), :]  # (1, Lp)
         # dynamics mix then latent transition, per dynamics state
         prior_rows = []
         for d in range(n_dyn):
             q_d = tdyn_ref[0, d] * carry_ref[pl.ds(0, 1), :]
             for p_ in range(1, n_dyn):
                 q_d = q_d + tdyn_ref[p_, d] * carry_ref[pl.ds(p_, 1), :]
-            prior_rows.append(
-                jnp.dot(q_d, tlat_ref[d], preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-            )
+            if uniform_rows[d]:
+                # uniform latent transition (the jump channel): every row of
+                # Tlat[d] is identical, so the matvec collapses to
+                # sum(q_d) * row — no MXU pass needed
+                prior_rows.append(jnp.sum(q_d) * tlat_ref[d, pl.ds(0, 1), :])
+            else:
+                prior_rows.append(
+                    jnp.dot(q_d, tlat_ref[d],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                )
         prior = jnp.concatenate(prior_rows, axis=0)  # (n_dyn, Lp)
 
-        m = jnp.max(ll_t)
-        w = jnp.exp(scale * (ll_t - m))
         u = prior * w  # broadcast (1, Lp) over dyn rows
         s = jnp.sum(u)
         p_new = u / s
@@ -89,9 +111,9 @@ def _filter_kernel(ll_ref, tlat_ref, tdyn_ref, init_ref, scale_ref,
     jax.lax.fori_loop(0, block_t, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=["block_t"])
+@functools.partial(jax.jit, static_argnames=["block_t", "uniform_rows"])
 def filter_chunk_pallas(ll, tlat, tdyn, p_init, likelihood_scale,
-                        block_t=DEFAULT_BLOCK_T):
+                        block_t=DEFAULT_BLOCK_T, uniform_rows=None):
     """Causal filter over (T, L) log-likelihoods.
 
     ll: (T, L); tlat: (n_dyn, L, L) row-stochastic; tdyn: (n_dyn, n_dyn);
@@ -103,18 +125,29 @@ def filter_chunk_pallas(ll, tlat, tdyn, p_init, likelihood_scale,
     Lp = _round_up(L, LANE)
     Tp = _round_up(max(T, 1), block_t)
 
-    ll_p = jnp.full((Tp, Lp), 0.0, dtype=jnp.float32)
-    ll_p = ll_p.at[:, L:].set(MASK_NEG)
-    ll_p = ll_p.at[:T, :L].set(ll)
-    ll_p = ll_p.at[T:, :].set(0.0)  # time padding: marginal no-op rows
+    # pre-compute max-shifted likelihood weights (vectorized over T);
+    # padded latent columns get weight 0, padded time rows weight 1
+    # (marginal no-op: sum(prior) == 1)
+    m = jnp.max(ll, axis=1)
+    w = jnp.exp(likelihood_scale * (ll - m[:, None]))
+    w_p = jnp.ones((Tp, Lp), dtype=jnp.float32)
+    w_p = w_p.at[:, L:].set(0.0)
+    w_p = w_p.at[:T, :L].set(w)
+    w_p = w_p.at[T:, :].set(
+        jnp.concatenate(
+            [jnp.ones(L, dtype=jnp.float32), jnp.zeros(Lp - L, dtype=jnp.float32)]
+        )
+    )
     tlat_p = jnp.zeros((n_dyn, Lp, Lp), dtype=jnp.float32)
     tlat_p = tlat_p.at[:, :L, :L].set(tlat)
     init_p = jnp.zeros((n_dyn, Lp), dtype=jnp.float32).at[:, :L].set(p_init)
-    scale = jnp.asarray([likelihood_scale], dtype=jnp.float32)
 
+    if uniform_rows is None:
+        uniform_rows = _detect_uniform_rows(tlat)
     grid = (Tp // block_t,)
     post, prior = pl.pallas_call(
-        functools.partial(_filter_kernel, n_dyn=n_dyn, block_t=block_t),
+        functools.partial(_filter_kernel, n_dyn=n_dyn, block_t=block_t,
+                          uniform_rows=uniform_rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_t, Lp), lambda g: (g, 0),
@@ -125,7 +158,6 @@ def filter_chunk_pallas(ll, tlat, tdyn, p_init, likelihood_scale,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n_dyn, Lp), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda g: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((block_t, n_dyn, Lp), lambda g: (g, 0, 0),
@@ -139,13 +171,11 @@ def filter_chunk_pallas(ll, tlat, tdyn, p_init, likelihood_scale,
         ],
         scratch_shapes=[pltpu.VMEM((n_dyn, Lp), jnp.float32)],
         interpret=_interpret(),
-    )(ll_p, tlat_p, tdyn, init_p, scale)
+    )(w_p, tlat_p, tdyn, init_p)
 
     post, prior = post[:T, :, :L], prior[:T, :, :L]
     # per-step log marginal ratios recomputed vectorized (Mosaic disallows
     # dynamic 1-D stores; this batched reduce is ~O(T D L) VPU work)
-    m = jnp.max(ll, axis=1)
-    w = jnp.exp(likelihood_scale * (ll - m[:, None]))
     s = jnp.einsum("tdl,tl->t", prior, w, precision=PRECISION)
     ratios = jnp.log(s) + likelihood_scale * m
     return post, prior, ratios
@@ -157,7 +187,8 @@ def filter_chunk_pallas(ll, tlat, tdyn, p_init, likelihood_scale,
 
 
 def _smoother_kernel(filt_ref, prior_ref, tlat_ref, tdyn_ref, init_ref,
-                     smooth_ref, rout_ref, carry_ref, *, n_dyn, block_t):
+                     smooth_ref, rout_ref, carry_ref, *, n_dyn, block_t,
+                     uniform_rows):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -175,14 +206,17 @@ def _smoother_kernel(filt_ref, prior_ref, tlat_ref, tdyn_ref, init_ref,
 
         # pull: s[e] = Tlat[e] @ r[e]; out[d] = sum_e Tdyn[d,e] * s[e]
         # (tlat_ref holds the TRANSPOSED latent kernels so this is a plain
-        # row-vector matmul)
+        # row-vector matmul; a uniform channel collapses to sum * row)
         s_rows = []
         for e in range(n_dyn):
-            s_rows.append(
-                jnp.dot(r[e][None, :], tlat_ref[e],
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-            )
+            if uniform_rows[e]:
+                s_rows.append(jnp.sum(r[e]) * tlat_ref[e, pl.ds(0, 1), :])
+            else:
+                s_rows.append(
+                    jnp.dot(r[e][None, :], tlat_ref[e],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                )
         pull_rows = []
         for d in range(n_dyn):
             acc = tdyn_ref[d, 0] * s_rows[0]
@@ -202,9 +236,9 @@ def _smoother_kernel(filt_ref, prior_ref, tlat_ref, tdyn_ref, init_ref,
     jax.lax.fori_loop(0, block_t, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=["block_t"])
+@functools.partial(jax.jit, static_argnames=["block_t", "uniform_rows"])
 def smoother_chunk_pallas(filt_xs, prior_xs, tlat, tdyn, smooth_init,
-                          block_t=DEFAULT_BLOCK_T):
+                          block_t=DEFAULT_BLOCK_T, uniform_rows=None):
     """Backward smoother over (T', n_dyn, L) filter posteriors and +1-shifted
     priors.  Returns (smooth (T', n_dyn, L), ratios (T', n_dyn, L)).
 
@@ -228,12 +262,15 @@ def smoother_chunk_pallas(filt_xs, prior_xs, tlat, tdyn, smooth_init,
     tlat_p = jnp.zeros((n_dyn, Lp, Lp), dtype=jnp.float32)
     tlat_p = tlat_p.at[:, :L, :L].set(jnp.swapaxes(tlat, -1, -2))
 
+    if uniform_rows is None:
+        uniform_rows = _detect_uniform_rows(tlat)
     n_blocks = Tp // block_t
     grid = (n_blocks,)
     rev = lambda g: (n_blocks - 1 - g, 0, 0)
 
     smooth, rout = pl.pallas_call(
-        functools.partial(_smoother_kernel, n_dyn=n_dyn, block_t=block_t),
+        functools.partial(_smoother_kernel, n_dyn=n_dyn, block_t=block_t,
+                          uniform_rows=uniform_rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_t, n_dyn, Lp), rev, memory_space=pltpu.VMEM),

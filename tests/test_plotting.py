@@ -120,3 +120,42 @@ def test_maze_and_paired():
 def test_plotly_gated():
     with pytest.raises(ImportError, match="plotly"):
         plotting.plot_pynapple_data_plotly({})
+
+
+def test_extras():
+    from poor_man_gplvm_tpu.plotting import (
+        animate_3d_scatter, diverging_heatmap, mean_bootstraperror_lineplot,
+        p_to_star, plot_pca3d, plot_rasterplot, turn_off_spines,
+    )
+
+    assert p_to_star(0.0001) == "***"
+    assert p_to_star(0.2) == "n.s."
+    rng = np.random.default_rng(0)
+    fig, ax = plot_rasterplot(event_l=[rng.uniform(0, 10, 20) for _ in range(5)])
+    assert len(ax.collections) == 5
+    fig2, ax2 = plot_rasterplot(binary_mat=rng.random((30, 4)) > 0.8)
+    turn_off_spines(ax2)
+    assert not ax2.spines["top"].get_visible()
+    fig3, ax3, im = diverging_heatmap(rng.normal(size=(10, 10)))
+    lo, hi = im.get_clim()
+    assert lo == -hi
+    fig4, ax4 = mean_bootstraperror_lineplot(rng.normal(size=(20, 15)),
+                                             n_boot=50, rng=0)
+    assert len(ax4.lines) == 1
+    fig5, ax5, ani = animate_3d_scatter(rng.normal(size=(20, 3)))
+    assert ani is not None
+    fig6, ax6, proj = plot_pca3d(rng.normal(size=(50, 8)))
+    assert proj.shape == (50, 3)
+
+
+def test_multipage_wrapper(tmp_path):
+    from poor_man_gplvm_tpu.plotting import plot_multipage_wrapper
+
+    def plot_one(x, fig=None, ax=None):
+        ax.plot(x)
+
+    paths = plot_multipage_wrapper(
+        plot_one, [np.arange(5)] * 7, nplots_per_page=4,
+        fig_save_dir=str(tmp_path),
+    )
+    assert len(paths) == 2
