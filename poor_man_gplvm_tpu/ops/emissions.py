@@ -92,20 +92,24 @@ def poisson_loglik(y, tuning, ma_neuron, ma_latent, dt=1.0):
 def gaussian_loglik(y, tuning, noise_std, ma_neuron, ma_latent, dt=1.0):
     """(T, L) Gaussian log-likelihood via matmuls.
 
-    Matches reference decoder.py:50-57 (scalar noise_std)."""
+    Matches reference decoder.py:50-57; ``noise_std`` may be a scalar or a
+    per-neuron (N,) vector (the reference broadcasts it through
+    ``norm.logpdf``)."""
     y = jnp.asarray(y)
     ma = _broadcast_neuron_mask(ma_neuron, y)
     dt_arr = jnp.asarray(dt)
+    noise_std = jnp.asarray(noise_std)
     const = -(jnp.log(noise_std) + 0.5 * math.log(2.0 * math.pi))
 
     if dt_arr.ndim == 0:
         mu = tuning * dt_arr  # (L, N)
+        w = 1.0 / (noise_std**2)  # scalar or (N,) precision weights
         quad = (
-            (ma * y * y).sum(axis=-1)[:, None]
-            - 2.0 * jnp.matmul(ma * y, mu.T, precision=PRECISION)
-            + jnp.matmul(ma, (mu * mu).T, precision=PRECISION)
+            (ma * y * y * w).sum(axis=-1)[:, None]
+            - 2.0 * jnp.matmul(ma * y * w, mu.T, precision=PRECISION)
+            + jnp.matmul(ma * w, (mu * mu).T, precision=PRECISION)
         )
-        ll = -0.5 / (noise_std**2) * quad + const * ma.sum(axis=-1)[:, None]
+        ll = -0.5 * quad + (ma * const).sum(axis=-1)[:, None]
     else:
         mu = tuning[None, :, :] * dt_arr[:, None, None]  # (T, L, N)
         resid = (y[:, None, :] - mu) / noise_std

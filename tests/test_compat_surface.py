@@ -95,3 +95,50 @@ def test_decoder_compat_wrappers_run():
         out_lat[4]
     )
     assert "p_transition_latent" in trans_res
+
+
+def test_low_level_decoder_primitives():
+    """The reference's per-step/per-chunk decoder primitives run and are
+    self-consistent with the combined chunked driver."""
+    import jax.random as jr
+    from poor_man_gplvm_tpu.ops import emissions, kernels as gpk
+
+    L, N, T = 6, 5, 15
+    model = pmg.PoissonGPLVMJump1D(N, n_latent_bin=L, tuning_lengthscale=2.0)
+    _, y = model.sample(T, key=jr.PRNGKey(0))
+    _, log_lat_l, _, log_dyn = gpk.create_transition_prob_1d(
+        jnp.arange(L), jnp.arange(2), 1.0, 0.01, 0.01
+    )
+    ll = emissions.get_loglikelihood_ma_all(
+        y, model.tuning, {}, jnp.ones((T, N)), jnp.ones(L)
+    )
+    post, lml, prior, ratios = pmg.decoder.filter_all_step(
+        ll, log_lat_l, log_dyn
+    )
+    assert post.shape == (T, 2, L)
+    smooth, acc = pmg.decoder.smooth_all_step(
+        post, prior[1:], log_lat_l, log_dyn
+    )
+    assert smooth.shape == (T, 2, L)
+    ref = pmg.decoder.smooth_all_step_combined_ma_chunk(
+        y, model.tuning, {}, log_lat_l, log_dyn, jnp.ones(N), jnp.ones(L),
+        engine="log",
+    )
+    np.testing.assert_allclose(
+        np.asarray(smooth), np.asarray(ref[0]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(float(lml), float(ref[1]), rtol=1e-6)
+
+    # single-step primitives
+    ll_single = pmg.decoder.get_loglikelihood_ma_poisson(
+        y[0], model.tuning, {}, jnp.ones(N), jnp.ones(L)
+    )
+    np.testing.assert_allclose(np.asarray(ll_single), np.asarray(ll[0]),
+                               rtol=1e-5)
+    carry = (
+        jnp.log(jnp.ones((2, L)) / (2 * L)), jnp.array(0.0)
+    )
+    carry2, (p1, pr1, r1) = pmg.decoder.filter_one_step(
+        carry, ll[0], log_lat_l, log_dyn
+    )
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(post[0]), rtol=1e-5)

@@ -113,3 +113,33 @@ def test_naive_bayes_chunk_invariance(setup):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-5
             )
+
+
+def test_gaussian_vector_noise_std_matches_dense():
+    """Per-neuron (N,) noise_std broadcasts like the reference's norm.logpdf
+    (reference decoder.py:50-57)."""
+    import jax.scipy.stats as jstats
+    from poor_man_gplvm_tpu.ops.emissions import gaussian_loglik
+
+    rng = np.random.default_rng(0)
+    T, L, N = 7, 9, 5
+    y = rng.normal(size=(T, N))
+    tun = rng.random((L, N))
+    sig = rng.uniform(0.5, 2.0, N)
+    ma = (rng.random((T, N)) > 0.3).astype(float)
+    dense = np.stack([
+        (np.asarray(jstats.norm.logpdf(y[t], tun, sig)) * ma[t][None, :])
+        .sum(axis=1)
+        for t in range(T)
+    ])
+    ours = np.asarray(gaussian_loglik(y, tun, sig, ma, np.ones(L)))
+    np.testing.assert_allclose(ours, dense, atol=1e-4, rtol=1e-5)
+    # changing-dt path
+    dts = rng.uniform(0.5, 1.5, T)
+    dense2 = np.stack([
+        (np.asarray(jstats.norm.logpdf(y[t], tun * dts[t], sig))
+         * ma[t][None, :]).sum(axis=1)
+        for t in range(T)
+    ])
+    ours2 = np.asarray(gaussian_loglik(y, tun, sig, ma, np.ones(L), dt=dts))
+    np.testing.assert_allclose(ours2, dense2, atol=1e-4, rtol=1e-5)
