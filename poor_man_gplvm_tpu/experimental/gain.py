@@ -211,7 +211,8 @@ class PoissonGPLVMGain1D_gain(PoissonGPLVMJump1D):
 
     # ------------------------------------------------------------------
     def m_step(self, param_curr, y, log_posterior_curr, tuning_basis,
-               hyperparam, opt_state_curr=None, gain_curr=None):
+               hyperparam, opt_state_curr=None, gain_curr=None,
+               host_trim=True):
         """Joint M-step: Adam on gain-weighted tuning statistics, then the
         per-time gain MLE under the new tuning
         (reference core_exp.py:128-170)."""
@@ -229,18 +230,12 @@ class PoissonGPLVMGain1D_gain(PoissonGPLVMJump1D):
         else:
             gain_new = get_gain_mstep(y, log_posterior_curr, tuning)
 
-        n_iter = int(adam_res["n_iter"])
-        return {
-            "params": adam_res["params"],
-            "tuning": tuning,
-            "gain": gain_new,
-            "opt_state": adam_res["opt_state"],
-            "n_iter": n_iter,
-            "final_loss": adam_res["final_loss"],
-            "final_error": adam_res["final_error"],
-            "loss_history": np.asarray(adam_res["loss_history"])[:n_iter],
-            "error_history": np.asarray(adam_res["error_history"])[:n_iter],
-        }
+        from poor_man_gplvm_tpu.ops.mstep import package_adam_result
+
+        return package_adam_result(
+            adam_res, host_trim=host_trim,
+            extra={"tuning": tuning, "gain": gain_new},
+        )
 
     def fit_em(
         self, y, hyperparam=None, key=None, n_iter=20, log_posterior_init=None,
@@ -297,7 +292,7 @@ class PoissonGPLVMGain1D_gain(PoissonGPLVMJump1D):
         for i in tqdm.trange(n_iter, desc="EM(gain)", disable=not verboase):
             m_step_res = self.m_step(
                 param_curr, y, log_posterior_curr, self.tuning_basis,
-                hyperparam_, opt_state_curr, gain_curr,
+                hyperparam_, opt_state_curr, gain_curr, host_trim=False,
             )
             param_curr = m_step_res["params"]
             gain_curr = m_step_res["gain"]
@@ -327,6 +322,10 @@ class PoissonGPLVMGain1D_gain(PoissonGPLVMJump1D):
                 gain_saved.append(gain_curr)
                 iter_saved.append(i)
                 log_marginal_saved.append(log_marginal_final)
+
+        from poor_man_gplvm_tpu.ops.mstep import batch_trim_m_step_histories
+
+        batch_trim_m_step_histories(m_step_res_l)
 
         self.params = param_curr
         self.tuning = tuning

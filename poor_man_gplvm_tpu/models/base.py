@@ -116,7 +116,7 @@ class _GPLVMCommon(ABC):
     @abstractmethod
     def m_step(
         self, param_curr, y, log_posterior_curr, tuning_basis, hyperparam,
-        opt_state_curr=None,
+        opt_state_curr=None, host_trim=True,
     ):
         """One M-step on grouped statistics."""
 
@@ -221,7 +221,7 @@ class _GPLVMCommon(ABC):
         n_time_per_chunk=10000, dt=1.0, likelihood_scale=1.0, save_every=None,
         posterior_init_kwargs=None, verboase=True, profile=False,
         checkpoint_dir=None, checkpoint_every=None, resume=False,
-        output_mode="full", **kwargs,
+        output_mode="full", memory_mode=None, **kwargs,
     ):
         """output_mode='lean' (for T x L scales beyond single-chip HBM):
         the E-step emits only the latent/dynamics marginal posteriors
@@ -312,7 +312,7 @@ class _GPLVMCommon(ABC):
             t0 = _time.time()
             m_res = self.m_step(
                 params, y_, log_posterior_curr, tuning_basis, hyperparam,
-                opt_state_curr=opt_state_curr,
+                opt_state_curr=opt_state_curr, host_trim=False,
             )
             if profile:
                 jax.block_until_ready(m_res["params"])
@@ -338,7 +338,8 @@ class _GPLVMCommon(ABC):
                 ) = self._smooth(
                     y_, tuning, hyperparam, trans, ma_neuron, ma_latent,
                     likelihood_scale, n_time_per_chunk,
-                    memory_mode="checkpoint", marginal_smooth=True,
+                    memory_mode=memory_mode or "checkpoint",
+                    marginal_smooth=True,
                 )
                 log_posterior_all, lean_dyn_marg = smooth_out
                 log_posterior_curr = log_posterior_all
@@ -349,6 +350,7 @@ class _GPLVMCommon(ABC):
                 ) = self._smooth(
                     y_, tuning, hyperparam, trans, ma_neuron, ma_latent,
                     likelihood_scale, n_time_per_chunk,
+                    **({"memory_mode": memory_mode} if memory_mode else {}),
                 )
 
                 if self.has_dynamics:
@@ -387,6 +389,12 @@ class _GPLVMCommon(ABC):
             phase_times["m_step"].append(t1 - t0)
             phase_times["e_step"].append(t2 - t1)
             phase_times["collect"].append(t3 - t2)
+
+        # deferred host work: trim Adam histories in one batch (saves ~3
+        # blocking device syncs per EM iteration on remote-tunneled devices)
+        from poor_man_gplvm_tpu.ops.mstep import batch_trim_m_step_histories
+
+        batch_trim_m_step_histories(m_step_res_l)
 
         # update attributes (reference core.py:344-349 / 678-686)
         self.params = params

@@ -266,27 +266,18 @@ class PoissonGPLVMJump1D(AbstractGPLVMJump1D):
 
     def m_step(
         self, param_curr, y, log_posterior_curr, tuning_basis, hyperparam,
-        opt_state_curr=None,
+        opt_state_curr=None, host_trim=True,
     ):
         """Adam M-step with optimizer-state continuity
-        (reference core.py:802-827)."""
+        (reference core.py:802-827).  ``host_trim=False`` defers history
+        trimming (a host sync) to the caller — fit_em batch-trims after the
+        EM loop."""
         y_weighted, t_weighted = fth.get_statistics(log_posterior_curr, y)
         adam_res = self.adam_runner(
             param_curr, opt_state_curr, hyperparam, tuning_basis, y_weighted,
             t_weighted,
         )
-        # trim histories HOST-side: device-side slicing would compile a new
-        # shape-specialized op for every distinct Adam iteration count
-        n_iter = int(adam_res["n_iter"])
-        return {
-            "params": adam_res["params"],
-            "opt_state": adam_res["opt_state"],
-            "n_iter": n_iter,
-            "final_loss": adam_res["final_loss"],
-            "final_error": adam_res["final_error"],
-            "loss_history": __import__("numpy").asarray(adam_res["loss_history"])[:n_iter],
-            "error_history": __import__("numpy").asarray(adam_res["error_history"])[:n_iter],
-        }
+        return fth.package_adam_result(adam_res, host_trim=host_trim)
 
     def fit_em(
         self, y, hyperparam=None, key=None, n_iter=20, log_posterior_init=None,
@@ -372,7 +363,7 @@ class GaussianGPLVMJump1D(AbstractGPLVMJump1D):
 
     def m_step(
         self, param_curr, y, log_posterior_curr, tuning_basis, hyperparam,
-        opt_state_curr=None,
+        opt_state_curr=None, host_trim=True,
     ):
         y_weighted, t_weighted = fth.get_statistics(log_posterior_curr, y)
         params_new = fth.gaussian_m_step_analytic(

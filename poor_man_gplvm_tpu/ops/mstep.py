@@ -52,6 +52,7 @@ def get_tuning_softplus(params, basis):
 
 
 @jax.jit
+@jax.jit
 def _get_statistics_block(log_posterior_probs, y):
     posterior_probs = jnp.exp(log_posterior_probs)
     y_weighted = jnp.matmul(posterior_probs.T, y, precision=PRECISION)
@@ -192,6 +193,56 @@ def make_adam_runner(fun, step_size, maxiter=1000, tol=1e-6):
         }
 
     return run, opt.init
+
+
+def package_adam_result(adam_res, host_trim=True, extra=None):
+    """Package an adam_runner result dict for m_step callers.
+
+    ``host_trim=True`` (the default, for direct API use) trims the
+    pre-allocated loss/error histories to the realized iteration count on the
+    host.  ``host_trim=False`` returns device arrays untouched so fit_em can
+    run sync-free and batch-trim after the EM loop (each host sync costs
+    ~30 ms through a remote-device tunnel)."""
+    out = {
+        "params": adam_res["params"],
+        "opt_state": adam_res["opt_state"],
+        "n_iter": adam_res["n_iter"],
+        "final_loss": adam_res["final_loss"],
+        "final_error": adam_res["final_error"],
+        "loss_history": adam_res["loss_history"],
+        "error_history": adam_res["error_history"],
+    }
+    if extra:
+        out.update(extra)
+    if host_trim:
+        import numpy as np
+
+        n_iter = int(adam_res["n_iter"])
+        out["n_iter"] = n_iter
+        out["loss_history"] = np.asarray(adam_res["loss_history"])[:n_iter]
+        out["error_history"] = np.asarray(adam_res["error_history"])[:n_iter]
+    return out
+
+
+def batch_trim_m_step_histories(m_step_res_l):
+    """Host-trim deferred (host_trim=False) M-step histories in one batch.
+
+    Stacks all iterations' n_iter / loss_history / error_history device
+    arrays and moves them host-side with three transfers total instead of
+    three blocking syncs per EM iteration.  Mutates and returns the dict."""
+    import numpy as np
+
+    if not m_step_res_l.get("loss_history"):
+        return m_step_res_l
+    if isinstance(m_step_res_l["n_iter"][0], (int, np.integer)):
+        return m_step_res_l  # already trimmed (host_trim=True path)
+    n_arr = np.asarray(jnp.stack(m_step_res_l["n_iter"])).astype(int)
+    loss_h = np.asarray(jnp.stack(m_step_res_l["loss_history"]))
+    err_h = np.asarray(jnp.stack(m_step_res_l["error_history"]))
+    m_step_res_l["n_iter"] = [int(v) for v in n_arr]
+    m_step_res_l["loss_history"] = [loss_h[j, :v] for j, v in enumerate(n_arr)]
+    m_step_res_l["error_history"] = [err_h[j, :v] for j, v in enumerate(n_arr)]
+    return m_step_res_l
 
 
 @functools.lru_cache(maxsize=64)

@@ -208,3 +208,70 @@ def test_checkpoint_marginal_smooth(joint_setup):
         np.exp(np.asarray(logsumexp(full[0], axis=2))), rtol=1e-5, atol=1e-7,
     )
     assert float(lml) == float(full[1])
+
+
+@pytest.mark.parametrize("memory_mode", ["filter", "filter_bf16"])
+def test_filterstore_modes_match_checkpoint(memory_mode):
+    """memory_mode='filter' (f32 store) matches the checkpoint smoother to
+    float tolerance; 'filter_bf16' to bf16 rounding (~1e-3 on posteriors,
+    exact log-marginal)."""
+    rng = np.random.default_rng(0)
+    T, L, N = 900, 12, 6
+    y = jnp.asarray(rng.poisson(1.0, size=(T, N)).astype(np.float32))
+    tuning = jnp.asarray(rng.random((L, N)).astype(np.float32)) * 2
+    lat_l, log_lat_l, dyn, log_dyn = gpk.create_transition_prob_1d(
+        jnp.arange(L), jnp.arange(2), movement_variance=1.3,
+        p_move_to_jump=0.05, p_jump_to_move=0.08,
+    )
+    trans = hmm.JointTransition(dyn, lat_l, log_dyn, log_lat_l)
+    ck = hmm.smooth_combined_chunked(
+        y, tuning, {}, trans, jnp.ones((T, N)), jnp.ones(L),
+        n_time_per_chunk=200, engine="prob", memory_mode="checkpoint",
+    )
+    fs = hmm.smooth_combined_chunked(
+        y, tuning, {}, trans, jnp.ones((T, N)), jnp.ones(L),
+        n_time_per_chunk=200, engine="prob", memory_mode=memory_mode,
+    )
+    tol = 1e-5 if memory_mode == "filter" else 3e-3
+    np.testing.assert_allclose(float(fs[1]), float(ck[1]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(fs[0])), np.exp(np.asarray(ck[0])), atol=tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(fs[3]), np.asarray(ck[3]), atol=1e-5
+    )
+
+    # marginal_smooth variant agrees too
+    ckm = hmm.smooth_combined_chunked(
+        y, tuning, {}, trans, jnp.ones((T, N)), jnp.ones(L),
+        n_time_per_chunk=200, engine="prob", memory_mode="checkpoint",
+        marginal_smooth=True,
+    )
+    fsm = hmm.smooth_combined_chunked(
+        y, tuning, {}, trans, jnp.ones((T, N)), jnp.ones(L),
+        n_time_per_chunk=200, engine="prob", memory_mode=memory_mode,
+        marginal_smooth=True,
+    )
+    np.testing.assert_allclose(
+        np.exp(np.asarray(fsm[0][0])), np.exp(np.asarray(ckm[0][0])), atol=tol
+    )
+
+
+def test_fit_em_memory_mode_kwarg():
+    """fit_em(memory_mode='filter') reproduces the default EM trajectory."""
+    import poor_man_gplvm_tpu as pmg
+
+    rng = np.random.default_rng(1)
+    y = rng.poisson(1.0, size=(400, 8)).astype(np.float32)
+    m1 = pmg.PoissonGPLVMJump1D(8, n_latent_bin=10, tuning_lengthscale=3.0)
+    m2 = pmg.PoissonGPLVMJump1D(8, n_latent_bin=10, tuning_lengthscale=3.0)
+    import jax.random as jr
+
+    em1 = m1.fit_em(y, key=jr.PRNGKey(0), n_iter=3, verboase=False,
+                    n_time_per_chunk=150)
+    em2 = m2.fit_em(y, key=jr.PRNGKey(0), n_iter=3, verboase=False,
+                    n_time_per_chunk=150, memory_mode="filter")
+    np.testing.assert_allclose(
+        np.asarray(em1["log_marginal_l"]), np.asarray(em2["log_marginal_l"]),
+        rtol=1e-5,
+    )
