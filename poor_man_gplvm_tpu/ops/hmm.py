@@ -420,6 +420,146 @@ def _backward_chunk(filt_xs, prior_xs, trans, carry, engine):
 
 
 # ---------------------------------------------------------------------------
+# device-side scan over chunks
+#
+# The host-loop drivers below enqueue 2 jitted programs per chunk; each
+# enqueue costs ~1.5 ms through a remote-device tunnel and each pallas call
+# repeats its padding prologue, ~9-13 ms of fixed cost per chunk pair.  For
+# uniform "head" chunks the whole forward (and backward) pass is instead ONE
+# lax.scan program: the chunk axis becomes the scan axis and the carry rides
+# in device memory.  The final (possibly ragged) chunk is peeled off and
+# handled by the host path so scan shapes stay static.
+# ---------------------------------------------------------------------------
+
+
+def _scan_chunk_xs(y_r, ma_arr, dt_r, ma_is_2d, has_dt):
+    xs = [y_r]
+    if ma_is_2d:
+        xs.append(ma_arr)
+    if has_dt:
+        xs.append(dt_r)
+    return tuple(xs)
+
+
+def _scan_chunk_unpack(xs, ma_arr, ma_is_2d, has_dt):
+    xs = list(xs)
+    y_c = xs.pop(0)
+    ma_c = xs.pop(0) if ma_is_2d else jnp.broadcast_to(ma_arr, y_c.shape)
+    dt_c = xs.pop(0) if has_dt else None
+    return y_c, ma_c, dt_c
+
+
+@partial(jax.jit, static_argnames=[
+    "observation_model", "engine", "emit", "ma_is_2d", "has_dt"])
+def _filter_scan_head(
+    y_r, tuning, hyperparam, trans, ma_arr, ma_latent, carry0,
+    likelihood_scale, dt_r, observation_model, engine, emit, ma_is_2d,
+    has_dt,
+):
+    """Forward filter over (C, nc, ...) head chunks in one program.
+
+    emit='full'       -> per-chunk (post, prior, ratios, ll)
+    emit='store_f32'/'store_bf16' -> (post[cast], ratios)   (filter-store)
+    emit='ckpt'       -> (carry_in_p, first_prior, ratios)  (checkpoint)
+    """
+
+    def step(carry, xs):
+        y_c, ma_c, dt_c = _scan_chunk_unpack(xs, ma_arr, ma_is_2d, has_dt)
+        post, prior, ratios, carry_out, ll = _filter_chunk(
+            y_c, tuning, hyperparam, trans, ma_c, ma_latent, carry,
+            likelihood_scale, observation_model, engine, dt_c,
+        )
+        if emit == "full":
+            out = (post, prior, ratios, ll)
+        elif emit == "store_bf16":
+            out = (post.astype(jnp.bfloat16), ratios)
+        elif emit == "store_f32":
+            out = (post, ratios)
+        else:  # 'ckpt'
+            out = (carry[0], prior[0], ratios)
+        return carry_out, out
+
+    xs = _scan_chunk_xs(y_r, ma_arr, dt_r, ma_is_2d, has_dt)
+    return lax.scan(step, carry0, xs)
+
+
+@partial(jax.jit, static_argnames=["engine"])
+def _backward_scan_head(filt_r, prior_shift_r, trans, carry, engine):
+    def step(c, xs):
+        filt_c, prior_c = xs
+        smooth, c = _backward_chunk(filt_c, prior_c, trans, c, engine)
+        return c, smooth
+
+    carry, smooth_r = lax.scan(
+        step, carry, (filt_r, prior_shift_r), reverse=True
+    )
+    return smooth_r, carry
+
+
+def _marginalize_emit(smooth, trans, marginal_smooth):
+    if marginal_smooth:
+        lat_m, dyn_m = trans.split_marginals(smooth)
+        return (
+            prob_to_log(lat_m), None if dyn_m is None else prob_to_log(dyn_m)
+        )
+    return prob_to_log(smooth)
+
+
+@partial(jax.jit, static_argnames=["engine", "marginal_smooth"])
+def _backward_filterstore_scan_head(post_r, trans, carry, engine,
+                                    marginal_smooth):
+    def step(c, post_stored):
+        post = post_stored.astype(jnp.float32)
+        prior_xs = trans.push_batch(post)
+        smooth, c = _backward_chunk(post, prior_xs, trans, c, engine)
+        return c, _marginalize_emit(smooth, trans, marginal_smooth)
+
+    carry, outs = lax.scan(step, carry, post_r, reverse=True)
+    return outs, carry
+
+
+@partial(jax.jit, static_argnames=[
+    "observation_model", "engine", "marginal_smooth", "ma_is_2d", "has_dt"])
+def _backward_ckpt_scan_head(
+    y_r, tuning, hyperparam, trans, ma_arr, ma_latent, p_in_r,
+    first_prior_next_r, likelihood_scale, dt_r, carry, observation_model,
+    engine, marginal_smooth, ma_is_2d, has_dt,
+):
+    def step(c, xs):
+        xs = list(xs)
+        p_in = xs.pop()
+        fp_next = xs.pop()
+        y_c, ma_c, dt_c = _scan_chunk_unpack(
+            tuple(xs), ma_arr, ma_is_2d, has_dt
+        )
+        post, prior, _r, _co, _ll = _filter_chunk(
+            y_c, tuning, hyperparam, trans, ma_c, ma_latent,
+            (p_in, jnp.array(0.0, dtype=jnp.float32)), likelihood_scale,
+            observation_model, engine, dt_c,
+        )
+        prior_shifted = jnp.concatenate([prior[1:], fp_next[None]], axis=0)
+        smooth, c = _backward_chunk(post, prior_shifted, trans, c, engine)
+        return c, _marginalize_emit(smooth, trans, marginal_smooth)
+
+    xs = _scan_chunk_xs(y_r, ma_arr, dt_r, ma_is_2d, has_dt)
+    xs = xs + (first_prior_next_r, p_in_r)
+    carry, outs = lax.scan(step, carry, xs, reverse=True)
+    return outs, carry
+
+
+def _head_views(y, ma_neuron, dt_l, nc, c_head):
+    """(C, nc, ...) reshaped views of the first c_head*nc timesteps."""
+    th = c_head * nc
+    y_r = y[:th].reshape(c_head, nc, *y.shape[1:])
+    ma_is_2d = ma_neuron.ndim == 2
+    ma_arr = (
+        ma_neuron[:th].reshape(c_head, nc, -1) if ma_is_2d else ma_neuron
+    )
+    dt_r = None if dt_l is None else dt_l[:th].reshape(c_head, nc)
+    return y_r, ma_arr, dt_r, ma_is_2d, dt_l is not None
+
+
+# ---------------------------------------------------------------------------
 # public drivers
 # ---------------------------------------------------------------------------
 
@@ -532,6 +672,66 @@ def smooth_combined_chunked(
     if marginal_smooth:
         raise ValueError("marginal_smooth requires memory_mode='checkpoint'")
 
+    # ---- device-side chunk scan fast path (uniform head + host tail) ----
+    if engine in ("prob", "pallas") and n_chunks >= 3:
+        nc = n_time_per_chunk
+        c_head = n_chunks - 1
+        th = c_head * nc
+        y_r, ma_arr, dt_r, ma_is_2d, has_dt = _head_views(
+            y, ma_neuron, dt_l, nc, c_head
+        )
+        carry0 = (
+            jnp.exp(trans.uniform_log_init()),
+            jnp.array(0.0, dtype=jnp.float32),
+        )
+        carry, (post_h, prior_h, ratio_h, ll_h) = _filter_scan_head(
+            y_r, tuning, hyperparam, trans, ma_arr, ma_latent, carry0,
+            likelihood_scale, dt_r, observation_model, engine, "full",
+            ma_is_2d, has_dt,
+        )
+        y_t = y[th:]
+        ma_t = (
+            ma_neuron[th:] if ma_is_2d
+            else jnp.broadcast_to(ma_neuron, y_t.shape)
+        )
+        dt_t = None if dt_l is None else dt_l[th:]
+        post_t, prior_t, ratio_t, carry, ll_t = _filter_chunk(
+            y_t, tuning, hyperparam, trans, ma_t, ma_latent, carry,
+            likelihood_scale, observation_model, engine, dt_t,
+        )
+        log_marginal_final = carry[1]
+        state_shape = post_h.shape[2:]
+        post_head_flat = post_h.reshape(th, *state_shape)
+        prior_head_flat = prior_h.reshape(th, *state_shape)
+
+        # backward: host tail (last-step special case), then scanned head
+        bwd_carry = (
+            post_t[-1], jnp.zeros(trans.joint_shape(), dtype=jnp.float32)
+        )
+        smooth_t, bwd_carry = _backward_chunk(
+            post_t[:-1], prior_t[1:], trans, bwd_carry, engine
+        )
+        smooth_t = jnp.concatenate([smooth_t, post_t[-1][None]], axis=0)
+        prior_shift_r = jnp.concatenate(
+            [prior_head_flat[1:], prior_t[0][None]], axis=0
+        ).reshape(c_head, nc, *state_shape)
+        smooth_h, bwd_carry = _backward_scan_head(
+            post_h, prior_shift_r, trans, bwd_carry, engine
+        )
+        smooth_all = jnp.concatenate(
+            [smooth_h.reshape(th, *state_shape), smooth_t], axis=0
+        )
+        post_all = jnp.concatenate([post_head_flat, post_t], axis=0)
+        ratios_all = jnp.concatenate([ratio_h.reshape(-1), ratio_t], axis=0)
+        ll_all = jnp.concatenate(
+            [ll_h.reshape(th, ll_h.shape[-1]), ll_t], axis=0
+        )
+        return (
+            prob_to_log(smooth_all), log_marginal_final,
+            prob_to_log(post_all), ratios_all, prob_to_log(bwd_carry[1]),
+            ll_all,
+        )
+
     # ---- forward pass over chunks ----
     carry = None
     post_chunks, prior_chunks, ratio_chunks, ll_chunks = [], [], [], []
@@ -619,6 +819,82 @@ def _smooth_chunked_checkpoint(
     (the recomputation reproduces the forward pass bit-for-bit)."""
     n_time_tot = y.shape[0]
     n_chunks = -(-n_time_tot // n_time_per_chunk)
+
+    # ---- device-side chunk scan fast path (uniform head + host tail) ----
+    if n_chunks >= 3:
+        nc = n_time_per_chunk
+        c_head = n_chunks - 1
+        th = c_head * nc
+        y_r, ma_arr, dt_r, ma_is_2d, has_dt = _head_views(
+            y, ma_neuron, dt_l, nc, c_head
+        )
+        carry0 = (
+            jnp.exp(trans.uniform_log_init()),
+            jnp.array(0.0, dtype=jnp.float32),
+        )
+        carry, (p_in_h, first_prior_h, ratio_h) = _filter_scan_head(
+            y_r, tuning, hyperparam, trans, ma_arr, ma_latent, carry0,
+            likelihood_scale, dt_r, observation_model, engine, "ckpt",
+            ma_is_2d, has_dt,
+        )
+        y_t = y[th:]
+        ma_t = (
+            ma_neuron[th:] if ma_is_2d
+            else jnp.broadcast_to(ma_neuron, y_t.shape)
+        )
+        dt_t = None if dt_l is None else dt_l[th:]
+        # tail forward outputs are kept (O(chunk) memory, the checkpoint
+        # budget) so the backward pass doesn't recompute the tail
+        post_t, prior_t, ratio_t, carry, _ll = _filter_chunk(
+            y_t, tuning, hyperparam, trans, ma_t, ma_latent, carry,
+            likelihood_scale, observation_model, engine, dt_t,
+        )
+        del _ll
+        log_marginal_final = carry[1]
+        ratios_all = jnp.concatenate([ratio_h.reshape(-1), ratio_t], axis=0)
+
+        bwd_carry = (
+            post_t[-1], jnp.zeros(trans.joint_shape(), dtype=jnp.float32)
+        )
+        smooth_t_raw, bwd_carry = _backward_chunk(
+            post_t[:-1], prior_t[1:], trans, bwd_carry, engine
+        )
+        smooth_t_raw = jnp.concatenate(
+            [smooth_t_raw, post_t[-1][None]], axis=0
+        )
+        smooth_t = _marginalize_emit(smooth_t_raw, trans, marginal_smooth)
+        first_prior_next_r = jnp.concatenate(
+            [first_prior_h[1:], prior_t[0][None]], axis=0
+        )
+        tail_first_prior = prior_t[0]
+        del post_t, prior_t, smooth_t_raw
+        smooth_h, bwd_carry = _backward_ckpt_scan_head(
+            y_r, tuning, hyperparam, trans, ma_arr, ma_latent, p_in_h,
+            first_prior_next_r, likelihood_scale, dt_r, bwd_carry,
+            observation_model, engine, marginal_smooth, ma_is_2d, has_dt,
+        )
+        if marginal_smooth:
+            lat_all = jnp.concatenate(
+                [smooth_h[0].reshape(th, smooth_h[0].shape[-1]), smooth_t[0]],
+                axis=0,
+            )
+            if smooth_t[1] is None:
+                smooth_all = (lat_all, None)
+            else:
+                smooth_all = (
+                    lat_all,
+                    jnp.concatenate(
+                        [smooth_h[1].reshape(th, smooth_h[1].shape[-1]),
+                         smooth_t[1]], axis=0,
+                    ),
+                )
+        else:
+            state_shape = smooth_t.shape[1:]
+            smooth_all = jnp.concatenate(
+                [smooth_h.reshape(th, *state_shape), smooth_t], axis=0
+            )
+        acc = prob_to_log(bwd_carry[1])
+        return smooth_all, log_marginal_final, None, ratios_all, acc, None
 
     def chunk_inputs(n):
         sl = slice(n * n_time_per_chunk, (n + 1) * n_time_per_chunk)
@@ -748,6 +1024,68 @@ def _smooth_chunked_filterstore(
     log-marginal is exact because it comes from the forward pass."""
     n_time_tot = y.shape[0]
     n_chunks = -(-n_time_tot // n_time_per_chunk)
+    emit = "store_f32" if store_dtype == jnp.float32 else "store_bf16"
+
+    # ---- device-side chunk scan fast path (uniform head + host tail) ----
+    if n_chunks >= 3:
+        nc = n_time_per_chunk
+        c_head = n_chunks - 1
+        th = c_head * nc
+        y_r, ma_arr, dt_r, ma_is_2d, has_dt = _head_views(
+            y, ma_neuron, dt_l, nc, c_head
+        )
+        carry0 = (
+            jnp.exp(trans.uniform_log_init()),
+            jnp.array(0.0, dtype=jnp.float32),
+        )
+        carry, (post_h, ratio_h) = _filter_scan_head(
+            y_r, tuning, hyperparam, trans, ma_arr, ma_latent, carry0,
+            likelihood_scale, dt_r, observation_model, engine, emit,
+            ma_is_2d, has_dt,
+        )
+        y_t = y[th:]
+        ma_t = (
+            ma_neuron[th:] if ma_is_2d
+            else jnp.broadcast_to(ma_neuron, y_t.shape)
+        )
+        dt_t = None if dt_l is None else dt_l[th:]
+        post_t, _pr, ratio_t, carry, _ll = _filter_chunk(
+            y_t, tuning, hyperparam, trans, ma_t, ma_latent, carry,
+            likelihood_scale, observation_model, engine, dt_t,
+        )
+        log_marginal_final = carry[1]
+        ratios_all = jnp.concatenate([ratio_h.reshape(-1), ratio_t], axis=0)
+        del _pr, _ll
+
+        smooth_t, bwd_carry = _backward_filterstore_chunk(
+            post_t.astype(store_dtype), trans,
+            (jnp.zeros(()), jnp.zeros(())), engine, marginal_smooth, True,
+        )
+        smooth_h, bwd_carry = _backward_filterstore_scan_head(
+            post_h, trans, bwd_carry, engine, marginal_smooth
+        )
+        if marginal_smooth:
+            lat_all = jnp.concatenate(
+                [smooth_h[0].reshape(th, smooth_h[0].shape[-1]), smooth_t[0]],
+                axis=0,
+            )
+            if smooth_t[1] is None:
+                smooth_all = (lat_all, None)
+            else:
+                smooth_all = (
+                    lat_all,
+                    jnp.concatenate(
+                        [smooth_h[1].reshape(th, smooth_h[1].shape[-1]),
+                         smooth_t[1]], axis=0,
+                    ),
+                )
+        else:
+            state_shape = smooth_t.shape[1:]
+            smooth_all = jnp.concatenate(
+                [smooth_h.reshape(th, *state_shape), smooth_t], axis=0
+            )
+        acc = prob_to_log(bwd_carry[1])
+        return smooth_all, log_marginal_final, None, ratios_all, acc, None
 
     def chunk_inputs(n):
         sl = slice(n * n_time_per_chunk, (n + 1) * n_time_per_chunk)
