@@ -92,12 +92,12 @@ def main():
                           ("checkpoint", "checkpoint")]:
             try:
                 model_big.fit_em(y_big, key=jr.PRNGKey(3), n_iter=1,
-                                 n_time_per_chunk=50_000, verboase=False,
+                                 n_time_per_chunk=100_000, verboase=False,
                                  save_every=10**9, output_mode="lean",
                                  memory_mode=mm)
                 t0 = time.time()
                 model_big.fit_em(y_big, key=jr.PRNGKey(3), n_iter=2,
-                                 n_time_per_chunk=50_000, verboase=False,
+                                 n_time_per_chunk=100_000, verboase=False,
                                  save_every=10**9, output_mode="lean",
                                  memory_mode=mm)
                 northstar = (time.time() - t0) / 2

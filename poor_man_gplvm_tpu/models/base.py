@@ -225,7 +225,12 @@ class _GPLVMCommon(ABC):
     ):
         """output_mode='lean' (for T x L scales beyond single-chip HBM):
         the E-step emits only the latent/dynamics marginal posteriors
-        (memory_mode='checkpoint' + marginal smoothing), em_res's
+        (memory_mode='checkpoint' + marginal smoothing, or pass
+        memory_mode='filter_bf16' for the faster 2-pass bf16 filter store).
+        Lean em_res keeps ONE (T, L) posterior (prob space, 'posterior' /
+        'posterior_latent_marg'): 'log_posterior_final' is None and
+        save_every posterior snapshots are skipped — at T=1e6 x L=500 each
+        retained copy is ~2 GB of the ~8 GB chip.  em_res's
         log_posterior_final/posterior hold the LATENT-MARGINAL (T, L)
         posterior, posterior_dynamics_marg is still exact, and
         log_posterior_init is not retained."""
@@ -343,6 +348,12 @@ class _GPLVMCommon(ABC):
                 )
                 log_posterior_all, lean_dyn_marg = smooth_out
                 log_posterior_curr = log_posterior_all
+                # one sync per iteration at lean (near-HBM-capacity) scales:
+                # fully async dispatch lets the host enqueue the next
+                # iteration's E-step while this one's buffers are still
+                # live, and enqueue-time output allocation then doubles the
+                # footprint (observed OOM at T=1e6 x L=500 on one chip)
+                jax.block_until_ready(log_posterior_curr)
             else:
                 (
                     log_posterior_all, log_marginal_final, _log_causal,
@@ -369,7 +380,10 @@ class _GPLVMCommon(ABC):
             log_marginal_l.append(log_marginal_final)
 
             if i % save_every == 0:
-                log_posterior_all_saved.append(log_posterior_all)
+                if output_mode != "lean":
+                    # lean runs sit near HBM capacity: retaining a full
+                    # posterior snapshot defeats the point of lean
+                    log_posterior_all_saved.append(log_posterior_all)
                 params_saved.append(params)
                 tuning_saved.append(tuning)
                 log_marginal_saved.append(log_marginal_final)
@@ -408,6 +422,10 @@ class _GPLVMCommon(ABC):
         # (np.asarray), which matters when the host link is slow
         log_posterior_curr = None
         posterior = jnp.exp(log_posterior_all)
+        if output_mode == "lean":
+            # drop the log-space copy: at lean scales each retained (T, L)
+            # array is ~2 GB and the prob-space marginal is the useful one
+            log_posterior_all = None
         em_res = {
             "log_posterior_all_saved": log_posterior_all_saved,
             "log_posterior_init": log_posterior_init,

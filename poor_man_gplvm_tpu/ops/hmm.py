@@ -432,39 +432,41 @@ def _backward_chunk(filt_xs, prior_xs, trans, carry, engine):
 # ---------------------------------------------------------------------------
 
 
-def _scan_chunk_xs(y_r, ma_arr, dt_r, ma_is_2d, has_dt):
-    xs = [y_r]
-    if ma_is_2d:
-        xs.append(ma_arr)
-    if has_dt:
-        xs.append(dt_r)
-    return tuple(xs)
-
-
-def _scan_chunk_unpack(xs, ma_arr, ma_is_2d, has_dt):
-    xs = list(xs)
-    y_c = xs.pop(0)
-    ma_c = xs.pop(0) if ma_is_2d else jnp.broadcast_to(ma_arr, y_c.shape)
-    dt_c = xs.pop(0) if has_dt else None
+def _dyn_chunk(y, ma_arr, dt_l, off, nc, ma_is_2d, has_dt):
+    """Slice one nc-length chunk at (traced) offset ``off`` out of the full
+    sequence.  dynamic_slice keeps the big arrays as plain program inputs —
+    no (C, nc, ...) copy is ever materialized for the scan."""
+    y_c = lax.dynamic_slice_in_dim(y, off, nc, axis=0)
+    ma_c = (
+        lax.dynamic_slice_in_dim(ma_arr, off, nc, axis=0) if ma_is_2d
+        else jnp.broadcast_to(ma_arr, y_c.shape)
+    )
+    dt_c = lax.dynamic_slice_in_dim(dt_l, off, nc, axis=0) if has_dt else None
     return y_c, ma_c, dt_c
 
 
 @partial(jax.jit, static_argnames=[
-    "observation_model", "engine", "emit", "ma_is_2d", "has_dt"])
+    "observation_model", "engine", "emit", "ma_is_2d", "has_dt", "nc",
+    "c_head"])
 def _filter_scan_head(
-    y_r, tuning, hyperparam, trans, ma_arr, ma_latent, carry0,
-    likelihood_scale, dt_r, observation_model, engine, emit, ma_is_2d,
-    has_dt,
+    y, tuning, hyperparam, trans, ma_arr, ma_latent, carry0,
+    likelihood_scale, dt_l, observation_model, engine, emit, ma_is_2d,
+    has_dt, nc, c_head,
 ):
-    """Forward filter over (C, nc, ...) head chunks in one program.
+    """Forward filter over the first c_head*nc timesteps, scanned as
+    (c_head, nc, ...) chunks in one program.  The head slice/reshape happens
+    INSIDE the program so XLA aliases the caller's buffer instead of the
+    host materializing a near-full copy of ``y`` (2 GB at north-star scale).
 
     emit='full'       -> per-chunk (post, prior, ratios, ll)
     emit='store_f32'/'store_bf16' -> (post[cast], ratios)   (filter-store)
     emit='ckpt'       -> (carry_in_p, first_prior, ratios)  (checkpoint)
     """
 
-    def step(carry, xs):
-        y_c, ma_c, dt_c = _scan_chunk_unpack(xs, ma_arr, ma_is_2d, has_dt)
+    def step(carry, n):
+        y_c, ma_c, dt_c = _dyn_chunk(
+            y, ma_arr, dt_l, n * nc, nc, ma_is_2d, has_dt
+        )
         post, prior, ratios, carry_out, ll = _filter_chunk(
             y_c, tuning, hyperparam, trans, ma_c, ma_latent, carry,
             likelihood_scale, observation_model, engine, dt_c,
@@ -479,8 +481,7 @@ def _filter_scan_head(
             out = (carry[0], prior[0], ratios)
         return carry_out, out
 
-    xs = _scan_chunk_xs(y_r, ma_arr, dt_r, ma_is_2d, has_dt)
-    return lax.scan(step, carry0, xs)
+    return lax.scan(step, carry0, jnp.arange(c_head))
 
 
 @partial(jax.jit, static_argnames=["engine"])
@@ -519,18 +520,17 @@ def _backward_filterstore_scan_head(post_r, trans, carry, engine,
 
 
 @partial(jax.jit, static_argnames=[
-    "observation_model", "engine", "marginal_smooth", "ma_is_2d", "has_dt"])
+    "observation_model", "engine", "marginal_smooth", "ma_is_2d", "has_dt",
+    "nc", "c_head"])
 def _backward_ckpt_scan_head(
-    y_r, tuning, hyperparam, trans, ma_arr, ma_latent, p_in_r,
-    first_prior_next_r, likelihood_scale, dt_r, carry, observation_model,
-    engine, marginal_smooth, ma_is_2d, has_dt,
+    y, tuning, hyperparam, trans, ma_arr, ma_latent, p_in_r,
+    first_prior_next_r, likelihood_scale, dt_l, carry, observation_model,
+    engine, marginal_smooth, ma_is_2d, has_dt, nc, c_head,
 ):
     def step(c, xs):
-        xs = list(xs)
-        p_in = xs.pop()
-        fp_next = xs.pop()
-        y_c, ma_c, dt_c = _scan_chunk_unpack(
-            tuple(xs), ma_arr, ma_is_2d, has_dt
+        n, fp_next, p_in = xs
+        y_c, ma_c, dt_c = _dyn_chunk(
+            y, ma_arr, dt_l, n * nc, nc, ma_is_2d, has_dt
         )
         post, prior, _r, _co, _ll = _filter_chunk(
             y_c, tuning, hyperparam, trans, ma_c, ma_latent,
@@ -541,22 +541,15 @@ def _backward_ckpt_scan_head(
         smooth, c = _backward_chunk(post, prior_shifted, trans, c, engine)
         return c, _marginalize_emit(smooth, trans, marginal_smooth)
 
-    xs = _scan_chunk_xs(y_r, ma_arr, dt_r, ma_is_2d, has_dt)
-    xs = xs + (first_prior_next_r, p_in_r)
-    carry, outs = lax.scan(step, carry, xs, reverse=True)
+    carry, outs = lax.scan(
+        step, carry, (jnp.arange(c_head), first_prior_next_r, p_in_r),
+        reverse=True,
+    )
     return outs, carry
 
 
-def _head_views(y, ma_neuron, dt_l, nc, c_head):
-    """(C, nc, ...) reshaped views of the first c_head*nc timesteps."""
-    th = c_head * nc
-    y_r = y[:th].reshape(c_head, nc, *y.shape[1:])
-    ma_is_2d = ma_neuron.ndim == 2
-    ma_arr = (
-        ma_neuron[:th].reshape(c_head, nc, -1) if ma_is_2d else ma_neuron
-    )
-    dt_r = None if dt_l is None else dt_l[:th].reshape(c_head, nc)
-    return y_r, ma_arr, dt_r, ma_is_2d, dt_l is not None
+def _head_flags(ma_neuron, dt_l):
+    return ma_neuron.ndim == 2, dt_l is not None
 
 
 # ---------------------------------------------------------------------------
@@ -677,17 +670,15 @@ def smooth_combined_chunked(
         nc = n_time_per_chunk
         c_head = n_chunks - 1
         th = c_head * nc
-        y_r, ma_arr, dt_r, ma_is_2d, has_dt = _head_views(
-            y, ma_neuron, dt_l, nc, c_head
-        )
+        ma_is_2d, has_dt = _head_flags(ma_neuron, dt_l)
         carry0 = (
             jnp.exp(trans.uniform_log_init()),
             jnp.array(0.0, dtype=jnp.float32),
         )
         carry, (post_h, prior_h, ratio_h, ll_h) = _filter_scan_head(
-            y_r, tuning, hyperparam, trans, ma_arr, ma_latent, carry0,
-            likelihood_scale, dt_r, observation_model, engine, "full",
-            ma_is_2d, has_dt,
+            y, tuning, hyperparam, trans, ma_neuron, ma_latent, carry0,
+            likelihood_scale, dt_l, observation_model, engine, "full",
+            ma_is_2d, has_dt, nc, c_head,
         )
         y_t = y[th:]
         ma_t = (
@@ -825,17 +816,15 @@ def _smooth_chunked_checkpoint(
         nc = n_time_per_chunk
         c_head = n_chunks - 1
         th = c_head * nc
-        y_r, ma_arr, dt_r, ma_is_2d, has_dt = _head_views(
-            y, ma_neuron, dt_l, nc, c_head
-        )
+        ma_is_2d, has_dt = _head_flags(ma_neuron, dt_l)
         carry0 = (
             jnp.exp(trans.uniform_log_init()),
             jnp.array(0.0, dtype=jnp.float32),
         )
         carry, (p_in_h, first_prior_h, ratio_h) = _filter_scan_head(
-            y_r, tuning, hyperparam, trans, ma_arr, ma_latent, carry0,
-            likelihood_scale, dt_r, observation_model, engine, "ckpt",
-            ma_is_2d, has_dt,
+            y, tuning, hyperparam, trans, ma_neuron, ma_latent, carry0,
+            likelihood_scale, dt_l, observation_model, engine, "ckpt",
+            ma_is_2d, has_dt, nc, c_head,
         )
         y_t = y[th:]
         ma_t = (
@@ -869,9 +858,10 @@ def _smooth_chunked_checkpoint(
         tail_first_prior = prior_t[0]
         del post_t, prior_t, smooth_t_raw
         smooth_h, bwd_carry = _backward_ckpt_scan_head(
-            y_r, tuning, hyperparam, trans, ma_arr, ma_latent, p_in_h,
-            first_prior_next_r, likelihood_scale, dt_r, bwd_carry,
+            y, tuning, hyperparam, trans, ma_neuron, ma_latent, p_in_h,
+            first_prior_next_r, likelihood_scale, dt_l, bwd_carry,
             observation_model, engine, marginal_smooth, ma_is_2d, has_dt,
+            nc, c_head,
         )
         if marginal_smooth:
             lat_all = jnp.concatenate(
@@ -1031,17 +1021,15 @@ def _smooth_chunked_filterstore(
         nc = n_time_per_chunk
         c_head = n_chunks - 1
         th = c_head * nc
-        y_r, ma_arr, dt_r, ma_is_2d, has_dt = _head_views(
-            y, ma_neuron, dt_l, nc, c_head
-        )
+        ma_is_2d, has_dt = _head_flags(ma_neuron, dt_l)
         carry0 = (
             jnp.exp(trans.uniform_log_init()),
             jnp.array(0.0, dtype=jnp.float32),
         )
         carry, (post_h, ratio_h) = _filter_scan_head(
-            y_r, tuning, hyperparam, trans, ma_arr, ma_latent, carry0,
-            likelihood_scale, dt_r, observation_model, engine, emit,
-            ma_is_2d, has_dt,
+            y, tuning, hyperparam, trans, ma_neuron, ma_latent, carry0,
+            likelihood_scale, dt_l, observation_model, engine, emit,
+            ma_is_2d, has_dt, nc, c_head,
         )
         y_t = y[th:]
         ma_t = (
