@@ -166,6 +166,17 @@ class PoissonGPLVMGain1D_gain(PoissonGPLVMJump1D):
             engine=self.inference_engine, dt_l=gain,
         )
 
+    def get_gain_mstep_chunk(self, y, log_posterior=None, tuning=None,
+                             n_time_per_chunk=10000):
+        """Instance wrapper over the chunked gain MLE
+        (reference experimental/test_exp.py:13 call signature)."""
+        if log_posterior is None:
+            log_posterior = self.log_posterior
+        if tuning is None:
+            tuning = self.tuning
+        return get_gain_mstep_chunk(y, log_posterior, tuning,
+                                    n_time_per_chunk=n_time_per_chunk)
+
     def decode_latent_naive_bayes(
         self, y, tuning=None, hyperparam=None, ma_neuron=None, ma_latent=None,
         likelihood_scale=1.0, n_time_per_chunk=10000, dt_l=1.0, gain=None,
@@ -335,6 +346,9 @@ class PoissonGPLVMGain1D_gain(PoissonGPLVMJump1D):
         posterior = jnp.exp(log_posterior_all)
         self.posterior_latent_marg = jnp.sum(posterior, axis=1)
         self.posterior_dynamics_marg = jnp.sum(posterior, axis=2)
+        # reference core_exp keeps the latent-marginal log posterior on the
+        # instance for post-fit gain refits (experimental/test_exp.py:13)
+        self.log_posterior = jnp.log(self.posterior_latent_marg + 1e-38)
 
         return {
             "log_posterior_all_saved": [],

@@ -9,3 +9,12 @@ from poor_man_gplvm_tpu.ops.kernels import (  # noqa: F401
     rbf_kernel_multi_d,
     uniform_kernel,
 )
+
+
+def get_log(val):
+    """Log with the reference's -inf clamp (reference gp_kernel.py:8-12):
+    exact zeros map to -10000 instead of -inf."""
+    import jax.numpy as jnp
+
+    log_val = jnp.log(val)
+    return jnp.where(jnp.isneginf(log_val), -10000.0, log_val)

@@ -139,3 +139,11 @@ def m_step_get_tuning_all_neuron_grouped(
     params_fit, final_losses = runner(params_init, s_b)
     tuning_fit = glm_get_tuning(params_fit, tuning_basis)
     return params_fit, tuning_fit, final_losses.sum()
+
+
+def get_s_b(spk_chunk, post_x_l):
+    """Posterior-weighted spikes per latent state, (L, N)
+    (reference fit_tuning_with_basis.py:55-57)."""
+    import jax.numpy as jnp
+
+    return jnp.matmul(post_x_l.T, spk_chunk)

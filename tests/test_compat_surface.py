@@ -142,3 +142,101 @@ def test_low_level_decoder_primitives():
         carry, ll[0], log_lat_l, log_dyn
     )
     np.testing.assert_allclose(np.asarray(p1), np.asarray(post[0]), rtol=1e-5)
+
+
+def test_gap_fill_surface():
+    """Remaining reference public symbols: gp_kernel.get_log, latent-only
+    low-level decoders, get_s_b, experimental functional API, backup plot
+    helpers."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    # get_log clamps -inf
+    lv = pmg.gp_kernel.get_log(jnp.array([1.0, 0.0]))
+    assert float(lv[0]) == 0.0 and float(lv[1]) == -10000.0
+
+    # latent-only low-level: hand loop == vectorized
+    L, T = 6, 12
+    from poor_man_gplvm_tpu.ops import kernels as gpk
+    _, log_kern = gpk.create_transition_prob_latent_1d(jnp.arange(L), 1.0)
+    rng = np.random.default_rng(0)
+    ll = jnp.asarray(rng.normal(size=(T, L)).astype(np.float32))
+    post, lml, prior, ratios = pmg.decoder_latentonly.filter_all_step_latent(
+        ll, log_kern
+    )
+    carry = (jnp.log(jnp.ones(L) / L), jnp.array(0.0))
+    for t in range(T):
+        carry, (p, _, _) = pmg.decoder_latentonly.filter_one_step_latent(
+            carry, ll[t], log_kern
+        )
+    np.testing.assert_allclose(np.asarray(p), np.asarray(post[-1]), rtol=1e-5)
+    smooth, acc = pmg.decoder_latentonly.smooth_all_step_latent(
+        post, prior[1:], log_kern
+    )
+    assert smooth.shape == (T, L) and acc.shape == (L, L)
+
+    # get_s_b == get_statistics y_weighted
+    from poor_man_gplvm_tpu.ops import fit_tuning_with_basis as ftb
+    from poor_man_gplvm_tpu.ops import mstep
+    spk = jnp.asarray(rng.poisson(1.0, (T, 4)).astype(np.float32))
+    logp = jnp.log(jnp.asarray(rng.dirichlet(np.ones(L), T).astype(np.float32)))
+    yw, tw = mstep.get_statistics(logp, spk)
+    np.testing.assert_allclose(
+        np.asarray(ftb.get_s_b(spk, jnp.exp(logp))), np.asarray(yw), rtol=1e-4
+    )
+
+    # experimental functional API: gain folds into changing-dt
+    from poor_man_gplvm_tpu.experimental import decoder_exp
+    tun = jnp.asarray(rng.random((L, 4)).astype(np.float32))
+    gain = jnp.asarray(rng.uniform(0.5, 2.0, T).astype(np.float32))
+    llg = decoder_exp.get_loglikelihood_ma_all_gain(
+        spk, tun, {}, jnp.ones(4), jnp.ones(L), gain
+    )
+    from poor_man_gplvm_tpu.ops.emissions import (
+        get_loglikelihood_ma_all_changing_dt,
+    )
+    np.testing.assert_allclose(
+        np.asarray(llg),
+        np.asarray(get_loglikelihood_ma_all_changing_dt(
+            spk, tun, {}, jnp.ones((T, 4)), jnp.ones(L), gain)),
+        rtol=1e-5,
+    )
+    nb = decoder_exp.get_naive_bayes_ma_chunk_gain(
+        spk, tun, {}, jnp.ones(4), jnp.ones(L), gain_l=gain,
+        n_time_per_chunk=5,
+    )
+    assert nb[0].shape == (T, L)
+    from poor_man_gplvm_tpu.experimental import fit_tuning_helper_exp
+    g1 = fit_tuning_helper_exp.get_gain_mstep_single_time(
+        spk[0], logp[0], tun
+    )
+    from poor_man_gplvm_tpu.experimental.gain import get_gain_mstep
+    np.testing.assert_allclose(
+        float(g1), float(get_gain_mstep(spk[:1], logp[:1], tun)[0]), rtol=1e-5
+    )
+
+    # backup plot helpers smoke
+    from poor_man_gplvm_tpu import plotting as P
+    lin = rng.uniform(0, 222, 50)
+    cit, leg, secs, cols = P.color_arms(lin)
+    assert len(leg) == 5 and (cit != 0).all()
+    mit, legm, _, _ = P.marker_speed(rng.uniform(0, 50, 50))
+    assert len(legm) == 4
+    df = pd.DataFrame(rng.random((8, 10)))
+    fig, ax = P.mean_error_plot(df)
+    fig, ax = P.heatmap(df)
+    fig, ax = P.ratemap_one_raw(df, trial=3, field_bound=(2, 7))
+    fig, ax = P.box_strip_plot(pd.DataFrame({"a": rng.random(10),
+                                             "b": rng.random(10)}), "a", "b")
+    fig, ax = P.plot_legend(["x", "y"], handle_types=["line", "patch"])
+    fig, ax = P.plot_shades(np.array([0, 0, 1, 1, 0, 2, 2]))
+    fig, ax = P.plot_angle(rng.uniform(0, 2 * np.pi, 40), ds_fac=4)
+    assert P.star_map(0.2) == "n.s." and P.star_map(1e-5) == "****"
+    res = P.consecutive_wilcoxon_test(pd.DataFrame(rng.random((20, 3)),
+                                                   columns=list("abc")))
+    assert len(res) == 2
+    c = P.prep_color(np.arange(10))
+    assert c.shape == (10, 4)
+    plt.close("all")
