@@ -275,3 +275,32 @@ def test_fit_em_memory_mode_kwarg():
         np.asarray(em1["log_marginal_l"]), np.asarray(em2["log_marginal_l"]),
         rtol=1e-5,
     )
+
+
+@pytest.mark.parametrize("T_case", [256, 257, 511, 30])
+def test_pallas_multilane_and_block_boundaries(T_case):
+    """Pallas kernels at L > 128 (two lane tiles) and T at/around block_t
+    boundaries match the prob engine exactly (block_t=256 padding logic,
+    multi-tile matvecs)."""
+    L_big, N = 130, 7
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.poisson(1.0, size=(T_case, N)).astype(np.float32))
+    tuning = jnp.asarray(rng.random((L_big, N)).astype(np.float32)) * 2
+    lat_l, log_lat_l, dyn, log_dyn = gpk.create_transition_prob_1d(
+        jnp.arange(L_big), jnp.arange(2), movement_variance=5.0,
+        p_move_to_jump=0.05, p_jump_to_move=0.08,
+    )
+    trans = hmm.JointTransition(dyn, lat_l, log_dyn, log_lat_l)
+    outs = {}
+    for engine in ["prob", "pallas"]:
+        outs[engine] = hmm.smooth_combined_chunked(
+            y, tuning, {}, trans, jnp.ones((T_case, N)), jnp.ones(L_big),
+            n_time_per_chunk=max(T_case, 1), engine=engine,
+        )
+    np.testing.assert_allclose(
+        float(outs["pallas"][1]), float(outs["prob"][1]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.exp(np.asarray(outs["pallas"][0])),
+        np.exp(np.asarray(outs["prob"][0])), atol=2e-4,
+    )
