@@ -5,7 +5,12 @@ inside the compiled loop dominates the ~40 KFLOP of real per-step work).
 These kernels process a whole block of timesteps per kernel invocation with
 the transition matrices resident in VMEM, turning the scan into a tight
 in-VMEM ``fori_loop``: one (1, L) @ (L, L) MXU matvec per dynamics state per
-step plus a handful of VPU ops.
+step plus a handful of VPU ops.  Measured per-step latency on a TPU v5e:
+~0.6us at L=100 (128 lanes), ~1.5us at L=500 (512 lanes), f32-exact
+(Precision.HIGHEST dots; Mosaic supports only DEFAULT/HIGHEST, and a manual
+bf16x3 three-pass variant measured ~1.2x faster at ~3e-3 accuracy loss —
+rejected).  The chain is latency-bound on the dependent per-step matvec;
+uniform-row channels (the jump transition) skip their matvec entirely.
 
 Layout: the latent axis is padded to a multiple of 128 (lane width) and the
 time axis to a multiple of the block size.  Padded latent columns carry
