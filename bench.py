@@ -64,12 +64,18 @@ def main():
     log(f"fit_em single-chunk: {sec_single:.3f} s/iter")
     sec_per_iter = min(sec_per_iter, sec_single)
 
-    # decode throughput (secondary diagnostic)
+    # decode throughput (secondary diagnostic); block on the posterior so
+    # the async dispatch doesn't understate the time
+    import jax as _jax
+
     y10k = y[:10_000]
-    model.decode_latent(y10k)
+    _jax.block_until_ready(model.decode_latent(y10k)["log_posterior_all"])
     t0 = time.time()
-    model.decode_latent(y10k)
-    decode_sps = 10_000 / (time.time() - t0)
+    reps = 5
+    for _ in range(reps):
+        dec = model.decode_latent(y10k)
+        _jax.block_until_ready(dec["log_posterior_all"])
+    decode_sps = reps * 10_000 / (time.time() - t0)
     log(f"decode_latent: {decode_sps:.0f} timesteps/s")
 
     # north-star-scale diagnostic (T=1e6 x L=500 x N=500, lean outputs)
