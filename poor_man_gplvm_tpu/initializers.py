@@ -50,11 +50,10 @@ def init_with_label_1D(label_tsd, n_latent_bin=100, t_l=None, seed=0,
     contiguous in time.  If ``t_l`` covers more time than the label, bins
     outside the label's support are initialized uniform."""
     rng = np.random.default_rng(seed)
-    nap = __import__(
-        "pynapple"
-    ) if compat.HAS_PYNAPPLE else __import__(
-        "poor_man_gplvm_tpu.utils.timeseries", fromlist=["timeseries"]
-    )
+    if compat.HAS_PYNAPPLE:
+        import pynapple as nap
+    else:
+        from poor_man_gplvm_tpu.utils import timeseries as nap
 
     if t_l is not None:
         T = len(t_l)

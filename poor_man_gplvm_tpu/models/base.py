@@ -23,8 +23,6 @@ import numpy as np
 import tqdm
 from jax.scipy.special import logsumexp
 
-from poor_man_gplvm_tpu.ops import kernels as gpk
-from poor_man_gplvm_tpu.ops import mstep as fth
 from poor_man_gplvm_tpu.ops import emissions, hmm
 from poor_man_gplvm_tpu.ops.basis import generate_basis
 from poor_man_gplvm_tpu.utils import compat

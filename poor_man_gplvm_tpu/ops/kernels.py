@@ -13,7 +13,6 @@ engines share one source of truth.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

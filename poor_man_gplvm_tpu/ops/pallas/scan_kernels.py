@@ -36,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from poor_man_gplvm_tpu.ops.emissions import MASK_NEG, PRECISION
+from poor_man_gplvm_tpu.ops.emissions import PRECISION
 
 DEFAULT_BLOCK_T = 256
 LANE = 128

@@ -39,7 +39,7 @@ from jax import lax
 from jax.scipy.special import gammaln
 from jax.sharding import Mesh, PartitionSpec as P
 
-from poor_man_gplvm_tpu.ops.emissions import MASK_NEG, PRECISION, RATE_FLOOR
+from poor_man_gplvm_tpu.ops.emissions import PRECISION, RATE_FLOOR
 from poor_man_gplvm_tpu.ops.hmm import (
     _backward_scan_prob,
     _forward_scan_prob,

@@ -28,7 +28,6 @@ import jax.random as jr
 import numpy as np
 import optax
 from jax import lax
-from jax.scipy.special import logsumexp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from poor_man_gplvm_tpu.ops import kernels as gpk

@@ -8,8 +8,6 @@ plot_helper.py).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 from poor_man_gplvm_tpu.plotting.core import save_fig, subplots_wrapper

@@ -9,7 +9,6 @@ one SPMD program over a device mesh (see poor_man_gplvm_tpu.parallel.sweep).
 from __future__ import annotations
 
 import itertools
-from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +53,7 @@ default_fit_kwargs = {
 }
 
 
-def generate_hyperparam_grid(hyperparam_ranges: Dict[str, List]):
+def generate_hyperparam_grid(hyperparam_ranges):
     """Dict of lists -> list of all combinations + DataFrame
     (reference model_selection_helper.py:18-33)."""
     keys = list(hyperparam_ranges.keys())
