@@ -639,11 +639,15 @@ def smooth_combined_chunked(
     if memory_mode == "auto":
         state_size = int(np.prod(trans.uniform_log_init().shape))
         est_bytes = n_time_tot * (3 * state_size + tuning.shape[0]) * 4
-        memory_mode = (
-            "checkpoint"
-            if est_bytes > 4e9 and engine in ("prob", "pallas")
-            else "full"
-        )
+        est_store = n_time_tot * state_size * 4  # one (T, state) f32 array
+        if est_bytes <= 4e9 or engine == "log":
+            memory_mode = "full"
+        elif est_store <= 2e9:
+            # the 2-pass f32 filter store beats the 3-pass checkpoint
+            # recompute (~1.4x) whenever one stored posterior array fits
+            memory_mode = "filter"
+        else:
+            memory_mode = "checkpoint"
     if memory_mode in ("checkpoint", "filter", "filter_bf16") and engine == "log":
         raise ValueError(
             f"memory_mode={memory_mode!r} requires engine prob/pallas"

@@ -61,8 +61,14 @@ class EMCheckpointer:
             with open(os.path.join(path, "state.pkl"), "wb") as f:
                 pickle.dump(state, f)
 
-    def restore(self, step=None):
-        """Restore a step (default: latest).  Returns None if empty."""
+    def restore(self, step=None, template=None):
+        """Restore a step (default: latest).  Returns None if empty.
+
+        ``template``: optional pytree with the target structure — orbax
+        stores arrays but not container types (optax NamedTuple opt_states
+        come back as lists), so pass e.g. a freshly-initialized state dict
+        to restore the exact structure.  The pickle backend round-trips
+        structure natively and ignores ``template``."""
         if step is None:
             step = self.latest_step()
             if step is None:
@@ -72,6 +78,13 @@ class EMCheckpointer:
             os.path.join(path, "state.pkl")
         ):
             with self._ocp.PyTreeCheckpointer() as ckptr:
+                if template is not None:
+                    import jax
+
+                    flat = ckptr.restore(path)
+                    leaves = jax.tree_util.tree_leaves(flat)
+                    treedef = jax.tree_util.tree_structure(template)
+                    return jax.tree_util.tree_unflatten(treedef, leaves)
                 return ckptr.restore(path)
         with open(os.path.join(path, "state.pkl"), "rb") as f:
             return pickle.load(f)

@@ -1,5 +1,6 @@
 """Checkpoint/resume: durable EM state round-trip."""
 
+import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
 import pytest
@@ -49,4 +50,33 @@ def test_fit_em_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         float(em_resumed["log_marginal"]), float(em_full["log_marginal"]),
         rtol=1e-3,
+    )
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    """Orbax backend restores the exact pytree structure via template
+    (optax opt_states come back usable)."""
+    import optax
+
+    ck = EMCheckpointer(str(tmp_path / "orbax"), use_orbax=True)
+    if ck._ocp is None:
+        pytest.skip("orbax not available")
+    opt = optax.adam(0.01)
+    params = {"w": jnp.ones((4, 3)), "b": jnp.zeros(3)}
+    state = {
+        "step": 2, "params": params, "opt_state": opt.init(params),
+        "log_posterior": jnp.ones((10, 5)),
+        "rng": jnp.zeros(2, jnp.uint32),
+    }
+    ck.save(2, state)
+    tmpl = {
+        "step": 0, "params": params, "opt_state": opt.init(params),
+        "log_posterior": jnp.zeros((10, 5)),
+        "rng": jnp.zeros(2, jnp.uint32),
+    }
+    r = ck.restore(template=tmpl)
+    g = {"w": jnp.ones((4, 3)), "b": jnp.ones(3)}
+    opt.update(g, r["opt_state"], r["params"])  # structure must be valid
+    np.testing.assert_allclose(
+        np.asarray(r["log_posterior"]), np.ones((10, 5))
     )
