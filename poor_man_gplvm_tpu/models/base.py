@@ -219,7 +219,7 @@ class _GPLVMCommon(ABC):
         n_time_per_chunk=10000, dt=1.0, likelihood_scale=1.0, save_every=None,
         posterior_init_kwargs=None, verboase=True, profile=False,
         checkpoint_dir=None, checkpoint_every=None, resume=False,
-        output_mode="full", memory_mode=None, **kwargs,
+        output_mode="full", memory_mode=None, nan_guard=None, **kwargs,
     ):
         """output_mode='lean' (for T x L scales beyond single-chip HBM):
         the E-step emits only the latent/dynamics marginal posteriors
@@ -401,6 +401,23 @@ class _GPLVMCommon(ABC):
             phase_times["m_step"].append(t1 - t0)
             phase_times["e_step"].append(t2 - t1)
             phase_times["collect"].append(t3 - t2)
+
+            # failure detection: a non-finite log marginal means the fit has
+            # diverged (bad hyperparameters / degenerate masks) and every
+            # further iteration is wasted work.  Checking costs one scalar
+            # D2H, so it's on by default only where the loop already syncs
+            # (lean mode); pass nan_guard=True to force it elsewhere.
+            check_nan = nan_guard if nan_guard is not None else (
+                output_mode == "lean"
+            )
+            if check_nan and not np.isfinite(float(log_marginal_final)):
+                raise FloatingPointError(
+                    f"EM diverged: log marginal is {float(log_marginal_final)}"
+                    f" at iteration {i} (T={y_.shape[0]},"
+                    f" n_latent_bin={self.n_latent_bin}). Check hyperparam"
+                    " values and neuron/latent masks; checkpoints up to the"
+                    " previous iteration are intact."
+                )
 
         # deferred host work: trim Adam histories in one batch (saves ~3
         # blocking device syncs per EM iteration on remote-tunneled devices)

@@ -266,3 +266,23 @@ def test_lean_output_mode(sim_jump):
         )["log_marginal_l"]
     ]
     np.testing.assert_allclose(lml_lean, lml_full, rtol=5e-5)
+
+
+def test_fit_em_nan_guard(sim_jump):
+    """nan_guard aborts a diverged fit with an actionable error; finite fits
+    are unaffected."""
+    model, _, spk = sim_jump
+    # a healthy fit passes with the guard forced on
+    em = model.fit_em(spk, key=jr.PRNGKey(0), n_iter=2, verboase=False,
+                      nan_guard=True)
+    assert np.isfinite(float(em["log_marginal"]))
+    # poison the data to force a non-finite log marginal
+    bad = np.asarray(spk, dtype=np.float32).copy()
+    bad[0, 0] = np.nan
+    fresh = pmg.PoissonGPLVMJump1D(
+        bad.shape[1], n_latent_bin=N_LATENT, movement_variance=1,
+        tuning_lengthscale=3.0,
+    )
+    with pytest.raises(FloatingPointError, match="EM diverged"):
+        fresh.fit_em(bad, key=jr.PRNGKey(0), n_iter=2, verboase=False,
+                     nan_guard=True)
