@@ -20,6 +20,16 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: repeat bench runs skip the ~20-60s
+# remote compiles (cache keyed by HLO hash, safe across code changes)
+import jax as _jax_cfg
+
+_jax_cfg.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+_jax_cfg.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
