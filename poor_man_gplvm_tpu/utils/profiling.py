@@ -11,7 +11,29 @@ from __future__ import annotations
 import contextlib
 import time
 
-__all__ = ["trace", "PhaseTimer"]
+__all__ = ["trace", "PhaseTimer", "enable_compilation_cache"]
+
+
+def enable_compilation_cache(directory=None, min_compile_secs=0.5):
+    """Turn on JAX's persistent compilation cache.
+
+    On remote-compile environments first compiles cost tens of seconds;
+    caching them (keyed by HLO hash, safe across code changes) makes repeat
+    processes start ~3x faster.  Default directory: ``~/.cache/pmg_jax``."""
+    import os
+
+    import jax
+
+    if directory is None:
+        directory = os.path.join(
+            os.path.expanduser("~"), ".cache", "pmg_jax"
+        )
+    os.makedirs(directory, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", directory)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+    )
+    return directory
 
 
 @contextlib.contextmanager

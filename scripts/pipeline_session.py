@@ -22,6 +22,10 @@ import os
 
 import numpy as np
 
+from poor_man_gplvm_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
