@@ -80,3 +80,30 @@ def test_orbax_backend_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(r["log_posterior"]), np.ones((10, 5))
     )
+
+
+def test_resume_with_filter_memory_mode(tmp_path):
+    """checkpoint_dir + resume works combined with memory_mode='filter' and
+    lean output: the resumed run continues the same trajectory."""
+    rng = np.random.default_rng(0)
+    y = rng.poisson(1.0, size=(600, 8)).astype(np.float32)
+
+    def fresh():
+        return pmg.PoissonGPLVMJump1D(8, n_latent_bin=10,
+                                      tuning_lengthscale=3.0)
+
+    kw = dict(verboase=False, n_time_per_chunk=150, memory_mode="filter",
+              output_mode="lean", save_every=10**9)
+    em_full = fresh().fit_em(y, key=jr.PRNGKey(0), n_iter=4, **kw)
+
+    ckdir = str(tmp_path / "ck")
+    m = fresh()
+    m.fit_em(y, key=jr.PRNGKey(0), n_iter=2, checkpoint_dir=ckdir,
+             checkpoint_every=1, **kw)
+    m2 = fresh()
+    em_res = m2.fit_em(y, key=jr.PRNGKey(0), n_iter=4, checkpoint_dir=ckdir,
+                       resume=True, **kw)
+    np.testing.assert_allclose(
+        float(em_res["log_marginal"]), float(em_full["log_marginal"]),
+        rtol=1e-4,
+    )
