@@ -25,6 +25,16 @@ over ICI:
 Pipeline parallelism (PP) and expert parallelism (EP) have no counterpart in
 this model family (no layer stack, no MoE — SURVEY.md §2.5); sequence
 parallelism here plays the role the reference's time chunking played.
+
+Why a ppermute pipeline and not an associative scan: the filter recursion
+is linear in the unnormalized state (u_t = diag(w_t) M^T u_{t-1}), so a
+time-parallel prefix scan over (S, S) transition operators (S = n_dyn * L)
+is mathematically available.  But composing operators costs O(S^3) per
+combine versus O(S^2) per sequential matvec step: each shard's local
+operator product multiplies total FLOPs by S (~200-1000 here).  The
+associative formulation only wins beyond ~S chips; at realistic slice
+sizes the exact carry hand-off pipeline (plus full parallelism of all the
+matmul-shaped work) dominates, so that is what this module implements.
 """
 
 from __future__ import annotations
