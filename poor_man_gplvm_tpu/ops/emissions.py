@@ -150,11 +150,23 @@ def get_naive_bayes_ma(
 
     Returns (log_post (T,L), log_marginal_l (T,), log_marginal scalar,
     ll_per_pos_l (T,L))."""
-    dt_l = jnp.broadcast_to(jnp.asarray(dt_l, dtype=jnp.float32), (y_l.shape[0],))
-    ll = get_loglikelihood_ma_all_changing_dt(
-        y_l, tuning, hyperparam, ma_neuron, ma_latent, dt_l,
-        observation_model=observation_model,
-    )
+    dt_arr = jnp.asarray(dt_l, dtype=jnp.float32)
+    if dt_arr.ndim == 0:
+        # scalar dt (the common case): the fixed-dt matmul form is exact and
+        # avoids the changing-dt path's (T, L, N) elementwise tensor
+        # (~100x less HBM traffic at T=1e5, L=N=100)
+        if observation_model == "poisson":
+            ll = poisson_loglik(y_l, tuning, ma_neuron, ma_latent, dt=dt_arr)
+        else:
+            ll = gaussian_loglik(
+                y_l, tuning, hyperparam["noise_std"], ma_neuron, ma_latent,
+                dt=dt_arr,
+            )
+    else:
+        ll = get_loglikelihood_ma_all_changing_dt(
+            y_l, tuning, hyperparam, ma_neuron, ma_latent, dt_arr,
+            observation_model=observation_model,
+        )
     log_marginal_l = logsumexp(ll, axis=-1, keepdims=True)
     log_post = ll - log_marginal_l
     log_marginal = jnp.sum(log_marginal_l)
@@ -177,7 +189,11 @@ def get_naive_bayes_ma_chunk(
     Returns (log_post_l, log_marginal_l, log_marginal_total, ll_per_pos_l)."""
     n_time_tot = y.shape[0]
     n_chunks = -(-n_time_tot // n_time_per_chunk)
-    dt_l = jnp.broadcast_to(jnp.asarray(dt_l, dtype=jnp.float32), (n_time_tot,))
+    # keep scalar dt scalar: per-time dt forces the (T, L, N) elementwise
+    # likelihood path; the scalar matmul form is ~100x less HBM traffic
+    dt_arr = jnp.asarray(dt_l, dtype=jnp.float32)
+    if dt_arr.ndim > 0:
+        dt_arr = jnp.broadcast_to(dt_arr, (n_time_tot,))
     ma_neuron = jnp.broadcast_to(jnp.asarray(ma_neuron, dtype=jnp.float32), y.shape)
 
     log_post_l, log_marginal_l_l, ll_l = [], [], []
@@ -185,7 +201,8 @@ def get_naive_bayes_ma_chunk(
     for n in range(n_chunks):
         sl = slice(n * n_time_per_chunk, (n + 1) * n_time_per_chunk)
         log_post, lml_l, lml, ll = get_naive_bayes_ma(
-            y[sl], tuning, hyperparam, ma_neuron[sl], ma_latent, dt_l[sl],
+            y[sl], tuning, hyperparam, ma_neuron[sl], ma_latent,
+            dt_arr if dt_arr.ndim == 0 else dt_arr[sl],
             observation_model=observation_model,
         )
         log_post_l.append(log_post)
