@@ -10,6 +10,7 @@ compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import tempfile
@@ -22,26 +23,45 @@ _LIB = None
 _TRIED = False
 
 
+def _cache_dirs():
+    """User cache locations (never the installed package directory)."""
+    dirs = []
+    xdg = os.environ.get("XDG_CACHE_HOME")
+    home = os.path.expanduser("~")
+    if xdg:
+        dirs.append(os.path.join(xdg, "poor_man_gplvm_tpu"))
+    elif home and home != "~":
+        dirs.append(os.path.join(home, ".cache", "poor_man_gplvm_tpu"))
+    dirs.append(os.path.join(tempfile.gettempdir(), "poor_man_gplvm_tpu"))
+    return dirs
+
+
 def _compile_and_load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     src = os.path.join(os.path.dirname(__file__), "binning.cpp")
-    candidates = [
-        os.path.join(os.path.dirname(__file__), "_binning.so"),
-        os.path.join(tempfile.gettempdir(), "pmg_tpu_binning.so"),
-    ]
-    for so_path in candidates:
-        if not os.path.exists(so_path) or os.path.getmtime(
-            so_path
-        ) < os.path.getmtime(src):
+    try:
+        with open(src, "rb") as f:
+            src_bytes = f.read()
+    except OSError:
+        return None
+    # key the cached .so by source content so a changed source never loads
+    # a stale binary (checkout mtimes are unreliable); portable codegen
+    # only — no -march=native, the cache may be shared across machines
+    key = hashlib.sha256(src_bytes).hexdigest()[:16]
+    for cache_dir in _cache_dirs():
+        so_path = os.path.join(cache_dir, f"binning_{key}.so")
+        if not os.path.exists(so_path):
             try:
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp = so_path + f".tmp{os.getpid()}"
                 subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     src, "-o", so_path],
+                    ["g++", "-O3", "-shared", "-fPIC", src, "-o", tmp],
                     check=True, capture_output=True,
                 )
+                os.replace(tmp, so_path)
             except (OSError, subprocess.CalledProcessError):
                 continue
         try:

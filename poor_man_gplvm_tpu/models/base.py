@@ -302,6 +302,16 @@ class _GPLVMCommon(ABC):
                         )
                     log_posterior_curr = jnp.asarray(state["log_posterior"])
                     start_iter = int(state["step"]) + 1
+                    if start_iter >= n_iter:
+                        # the checkpoint already covers every requested
+                        # iteration — the EM loop body would never run,
+                        # leaving tuning/log_posterior_all unbound below
+                        raise ValueError(
+                            f"resume: checkpoint step {start_iter - 1} "
+                            f">= n_iter={n_iter}; nothing to do. Pass a "
+                            "larger n_iter to continue training, or load "
+                            "the checkpoint state directly."
+                        )
 
         log_posterior_all_saved, params_saved = [], []
         tuning_saved, iter_saved, log_marginal_saved = [], [], []

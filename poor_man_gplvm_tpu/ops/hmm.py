@@ -1049,8 +1049,11 @@ def _smooth_chunked_filterstore(
         ratios_all = jnp.concatenate([ratio_h.reshape(-1), ratio_t], axis=0)
         del _pr, _ll
 
+        # NOTE: post_t stays float32 — only the *stored* head chunks need
+        # the compact store_dtype; downcasting the tail here would seed the
+        # whole backward head scan with avoidable bf16 rounding
         smooth_t, bwd_carry = _backward_filterstore_chunk(
-            post_t.astype(store_dtype), trans,
+            post_t, trans,
             (jnp.zeros(()), jnp.zeros(())), engine, marginal_smooth, True,
         )
         smooth_h, bwd_carry = _backward_filterstore_scan_head(

@@ -193,7 +193,7 @@ def filter_chunk_pallas(ll, tlat, tdyn, p_init, likelihood_scale,
 
 def _smoother_kernel(filt_ref, prior_ref, tlat_ref, tdyn_ref, init_ref,
                      smooth_ref, rout_ref, carry_ref, *, n_dyn, block_t,
-                     uniform_rows):
+                     uniform_rows, n_valid, n_blocks):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -202,40 +202,53 @@ def _smoother_kernel(filt_ref, prior_ref, tlat_ref, tdyn_ref, init_ref,
 
     def body(i, _):
         t = block_t - 1 - i
-        p_filt = filt_ref[pl.ds(t, 1)][0]  # (n_dyn, Lp)
-        p_prior = prior_ref[pl.ds(t, 1)][0]
-        p_smooth_next = carry_ref[:]
+        # global time index of this step; the grid is reversed so grid step
+        # g reads block (n_blocks - 1 - g).  Padded tail rows
+        # (t_global >= n_valid) are hard no-ops: the carry must pass through
+        # untouched, because when the carried smoothed posterior contains
+        # exact zeros (masked latent bins) the pull/renormalize step is NOT
+        # an identity even with filt == prior == init.
+        t_global = (n_blocks - 1 - g) * block_t + t
 
-        safe = jnp.where(p_prior > 0, p_prior, 1.0)
-        r = jnp.where(p_prior > 0, p_smooth_next / safe, 0.0)
+        @pl.when(t_global < n_valid)
+        def _():
+            p_filt = filt_ref[pl.ds(t, 1)][0]  # (n_dyn, Lp)
+            p_prior = prior_ref[pl.ds(t, 1)][0]
+            p_smooth_next = carry_ref[:]
 
-        # pull: s[e] = Tlat[e] @ r[e]; out[d] = sum_e Tdyn[d,e] * s[e]
-        # (tlat_ref holds the TRANSPOSED latent kernels so this is a plain
-        # row-vector matmul; a uniform channel collapses to sum * row)
-        s_rows = []
-        for e in range(n_dyn):
-            if uniform_rows[e]:
-                s_rows.append(jnp.sum(r[e]) * tlat_ref[e, pl.ds(0, 1), :])
-            else:
-                s_rows.append(
-                    jnp.dot(r[e][None, :], tlat_ref[e],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-                )
-        pull_rows = []
-        for d in range(n_dyn):
-            acc = tdyn_ref[d, 0] * s_rows[0]
-            for e in range(1, n_dyn):
-                acc = acc + tdyn_ref[d, e] * s_rows[e]
-            pull_rows.append(acc)
-        pull = jnp.concatenate(pull_rows, axis=0)  # (n_dyn, Lp)
+            safe = jnp.where(p_prior > 0, p_prior, 1.0)
+            r = jnp.where(p_prior > 0, p_smooth_next / safe, 0.0)
 
-        p_smooth = p_filt * pull
-        p_smooth = p_smooth / jnp.maximum(jnp.sum(p_smooth), 1e-38)
+            # pull: s[e] = Tlat[e] @ r[e]; out[d] = sum_e Tdyn[d,e] * s[e]
+            # (tlat_ref holds the TRANSPOSED latent kernels so this is a
+            # plain row-vector matmul; a uniform channel collapses to
+            # sum * row)
+            s_rows = []
+            for e in range(n_dyn):
+                if uniform_rows[e]:
+                    s_rows.append(
+                        jnp.sum(r[e]) * tlat_ref[e, pl.ds(0, 1), :])
+                else:
+                    s_rows.append(
+                        jnp.dot(r[e][None, :], tlat_ref[e],
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                    )
+            pull_rows = []
+            for d in range(n_dyn):
+                acc = tdyn_ref[d, 0] * s_rows[0]
+                for e in range(1, n_dyn):
+                    acc = acc + tdyn_ref[d, e] * s_rows[e]
+                pull_rows.append(acc)
+            pull = jnp.concatenate(pull_rows, axis=0)  # (n_dyn, Lp)
 
-        carry_ref[:] = p_smooth
-        smooth_ref[pl.ds(t, 1)] = p_smooth[None]
-        rout_ref[pl.ds(t, 1)] = r[None]
+            p_smooth = p_filt * pull
+            p_smooth = p_smooth / jnp.maximum(jnp.sum(p_smooth), 1e-38)
+
+            carry_ref[:] = p_smooth
+            smooth_ref[pl.ds(t, 1)] = p_smooth[None]
+            rout_ref[pl.ds(t, 1)] = r[None]
+
         return 0
 
     jax.lax.fori_loop(0, block_t, body, 0)
@@ -247,9 +260,11 @@ def smoother_chunk_pallas(filt_xs, prior_xs, tlat, tdyn, smooth_init,
     """Backward smoother over (T', n_dyn, L) filter posteriors and +1-shifted
     priors.  Returns (smooth (T', n_dyn, L), ratios (T', n_dyn, L)).
 
-    Time padding appends identity steps at the tail (processed FIRST in
-    reverse order): filt := smooth_init, prior := smooth_init so the ratio is
-    exactly 1 and the carry passes through unchanged.
+    Padded tail rows (processed FIRST in reverse order) are skipped entirely
+    inside the kernel (``pl.when(t_global < T)``) so the carry reaches the
+    last real row exactly as ``smooth_init`` — including when the carried
+    posterior contains exact zeros from ``ma_latent`` masks, where a
+    pull/renormalize "identity step" would NOT be a no-op.
     """
     T, n_dyn, L = filt_xs.shape
     Lp = _round_up(L, LANE)
@@ -258,10 +273,8 @@ def smoother_chunk_pallas(filt_xs, prior_xs, tlat, tdyn, smooth_init,
     init_p = jnp.zeros((n_dyn, Lp), dtype=jnp.float32).at[:, :L].set(smooth_init)
     filt_p = jnp.zeros((Tp, n_dyn, Lp), dtype=jnp.float32)
     filt_p = filt_p.at[:T, :, :L].set(filt_xs)
-    filt_p = filt_p.at[T:, :, :].set(init_p[None])
     prior_p = jnp.zeros((Tp, n_dyn, Lp), dtype=jnp.float32)
     prior_p = prior_p.at[:T, :, :L].set(prior_xs)
-    prior_p = prior_p.at[T:, :, :].set(init_p[None])
     # pre-transpose the latent kernels: the kernel computes Tlat[e] @ r[e]
     # as a row-vector matmul r @ Tlat[e]^T
     tlat_p = jnp.zeros((n_dyn, Lp, Lp), dtype=jnp.float32)
@@ -275,7 +288,8 @@ def smoother_chunk_pallas(filt_xs, prior_xs, tlat, tdyn, smooth_init,
 
     smooth, rout = pl.pallas_call(
         functools.partial(_smoother_kernel, n_dyn=n_dyn, block_t=block_t,
-                          uniform_rows=uniform_rows),
+                          uniform_rows=uniform_rows, n_valid=T,
+                          n_blocks=n_blocks),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_t, n_dyn, Lp), rev, memory_space=pltpu.VMEM),

@@ -139,6 +139,40 @@ def test_latent_mask(joint_setup):
     np.testing.assert_allclose(post.sum(axis=(1, 2)), 1.0, rtol=1e-4)
 
 
+@pytest.mark.parametrize("bigT", [100, 300])
+def test_latent_mask_engine_parity(bigT):
+    """Regression: pallas smoother time-padding must be a true no-op when
+    the carried smoothed posterior contains exact zeros (masked latent
+    bins).  T deliberately NOT a multiple of the pallas block size so the
+    padded-tail path is exercised (previously deviated by ~0.145 abs)."""
+    rng = np.random.default_rng(3)
+    y = rng.poisson(1.5, size=(bigT, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    ma_neuron = np.ones(N, dtype=np.float32)
+    ma_latent = np.ones(L, dtype=np.float32)
+    ma_latent[1] = 0.0
+    ma_latent[3] = 0.0
+    lat_l, log_lat_l, dyn, log_dyn = gpk.create_transition_prob_1d(
+        jnp.arange(L), jnp.arange(N_DYN), movement_variance=1.3,
+        p_move_to_jump=0.05, p_jump_to_move=0.08,
+    )
+    trans = hmm.JointTransition(dyn, lat_l, log_dyn, log_lat_l)
+    ref = _run(y, tuning, ma_neuron, ma_latent, trans, "prob")
+    pal = _run(y, tuning, ma_neuron, ma_latent, trans, "pallas")
+    np.testing.assert_allclose(float(pal[1]), float(ref[1]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(pal[0])), np.exp(np.asarray(ref[0])),
+        rtol=1e-3, atol=1e-5,
+    )
+    # chunked path also crosses the padding boundary per chunk
+    pal_c = _run(y, tuning, ma_neuron, ma_latent, trans, "pallas", chunk=37)
+    np.testing.assert_allclose(float(pal_c[1]), float(ref[1]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(pal_c[0])), np.exp(np.asarray(ref[0])),
+        rtol=1e-3, atol=1e-5,
+    )
+
+
 def test_likelihood_scale(joint_setup):
     y, tuning, ma_neuron, ma_latent, trans, ll = joint_setup
     M = joint_to_dense(trans.Tdyn, trans.Tlat)
