@@ -9,47 +9,15 @@ Run:  python scripts/measure_reference_baseline.py [--quick]
 
 import argparse
 import json
+import os
 import sys
 import time
-import types
 
-# ---- stubs for missing optional deps of the reference ----
-pynapple_stub = types.ModuleType("pynapple")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from _reference_stubs import install_reference_stubs  # noqa: E402
 
-class _NeverInstance:
-    """Placeholder class: isinstance(x, _NeverInstance) is False for real data."""
-
-
-pynapple_stub.TsdFrame = _NeverInstance
-pynapple_stub.Tsd = _NeverInstance
-pynapple_stub.Ts = _NeverInstance
-pynapple_stub.IntervalSet = _NeverInstance
-sys.modules["pynapple"] = pynapple_stub
-
-jaxopt_stub = types.ModuleType("jaxopt")
-jaxopt_stub.LBFGS = None
-sys.modules["jaxopt"] = jaxopt_stub
-
-
-class _AnyAttrModule(types.ModuleType):
-    def __getattr__(self, name):
-        sub = _AnyAttrModule(f"{self.__name__}.{name}")
-        sys.modules[f"{self.__name__}.{name}"] = sub
-        return sub
-
-
-for _name in [
-    "plotly", "plotly.graph_objects", "plotly.subplots", "plotly.express",
-    "plotly.io", "statsmodels", "statsmodels.api", "statsmodels.formula",
-    "statsmodels.formula.api", "statsmodels.stats",
-    "statsmodels.stats.sandwich_covariance", "xarray",
-]:
-    _m = _AnyAttrModule(_name)
-    _m.__path__ = []
-    sys.modules[_name] = _m
-
-sys.path.insert(0, "/root/reference")
+install_reference_stubs()
 
 import jax  # noqa: E402
 

@@ -1,0 +1,273 @@
+"""Automated reference-parity harness (BASELINE.json acceptance: the rebuilt
+framework must match the reference's `log_marginal_l` to <= 1e-5 relative).
+
+Imports BOTH packages in one CPU process — the actual reference at
+/root/reference (with pynapple/jaxopt stubbed, scripts/_reference_stubs.py)
+and this repo's `poor_man_gplvm_tpu` — pins identical params + posterior
+init, then compares:
+
+* `fit_em` `log_marginal_l` over >= 3 EM iterations for all four model
+  classes (reference core.py:668 jump, core.py:335 latent-only)
+* `decode_latent` with a shared tuning: `log_marginal_final`, the full
+  posterior, one-step predictive marginals, and the transition-posterior
+  dict — 12 keys joint (reference decoder.py:360-373), 4 keys latent-only
+  (decoder_latentonly.py:242-247)
+* naive-Bayes decoding (reference decoder.py:88-149)
+
+for BOTH inference engines ('prob' and 'log').
+
+Run:  python scripts/parity_vs_reference.py [--quick]
+Writes PARITY.json at the repo root, exits nonzero on any tolerance breach.
+The same checks run in pytest via `tests/test_reference_parity.py`
+(marker: reference).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_SCRIPTS)
+sys.path.insert(0, _SCRIPTS)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from _reference_stubs import install_reference_stubs  # noqa: E402
+
+HAVE_REFERENCE = install_reference_stubs()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import jax.random as jr  # noqa: E402
+import numpy as np  # noqa: E402
+
+TOL_LOG_MARGINAL = 1e-5   # BASELINE.json:5 acceptance
+TOL_POSTERIOR = 1e-4      # abs, probabilities in [0, 1]
+# posterior after n_iter full EM rounds: the Adam while_loop's stopping
+# iteration can differ by one between implementations under float32
+# (reference fit_tuning_helper.py:154-164), compounding into the E-step;
+# informational with a loose bound — the acceptance metric is log_marginal_l
+TOL_FIT_POSTERIOR = 1e-2
+
+# (name, kind, ref class name) — classes share names across packages
+MODEL_CASES = [
+    ("poisson_jump", "poisson", "PoissonGPLVMJump1D"),
+    ("gaussian_jump", "gaussian", "GaussianGPLVMJump1D"),
+    ("poisson_latentonly", "poisson", "PoissonGPLVM1D"),
+    ("gaussian_latentonly", "gaussian", "GaussianGPLVM1D"),
+]
+
+JOINT_TRANSITION_KEYS = [
+    "p_joint_full", "p_joint_latent", "p_joint_dynamics",
+    "p_transition_full", "p_transition_latent", "p_transition_dynamics",
+    "log_joint_full", "log_joint_latent", "log_joint_dynamics",
+    "log_transition_full", "log_transition_latent",
+    "log_transition_dynamics",
+]
+LATENT_TRANSITION_KEYS = [
+    "p_joint_latent", "p_transition_latent",
+    "log_joint_latent", "log_transition_latent",
+]
+
+
+def rel_err(ours, ref):
+    ours = np.asarray(ours, dtype=np.float64)
+    ref = np.asarray(ref, dtype=np.float64)
+    denom = max(float(np.max(np.abs(ref))), 1e-12)
+    return float(np.max(np.abs(ours - ref)) / denom)
+
+
+def log_rel_err(ours, ref):
+    """rel_err over entries whose reference log-prob is non-negligible.
+
+    The log-space transition-posterior keys carry -inf / -1e40 sentinels for
+    never-visited transitions (reference decoder.py:240); those entries carry
+    no probability mass (exp < 2e-22) and their log values are
+    representation-dependent, so parity is asserted on the populated ones
+    (the p_* keys cover the full arrays in prob space)."""
+    ours = np.asarray(ours, dtype=np.float64)
+    ref = np.asarray(ref, dtype=np.float64)
+    mask = np.isfinite(ref) & (ref > -50.0)
+    if not mask.any():
+        return 0.0
+    denom = max(float(np.max(np.abs(ref[mask]))), 1e-12)
+    return float(np.max(np.abs(ours[mask] - ref[mask])) / denom)
+
+
+def abs_err(ours, ref):
+    return float(
+        np.max(np.abs(np.asarray(ours, np.float64) - np.asarray(ref, np.float64)))
+    )
+
+
+def make_data(kind, T, N, seed=0):
+    rng = np.random.default_rng(seed)
+    if kind == "poisson":
+        return rng.poisson(1.0, size=(T, N)).astype(np.float32)
+    return rng.normal(1.0, 1.0, size=(T, N)).astype(np.float32)
+
+
+def build_models(case_name, ref_cls_name, engine, N, L):
+    import poor_man_gplvm as ref_pkg
+    import poor_man_gplvm_tpu as tpu_pkg
+
+    kwargs = dict(
+        n_latent_bin=L, tuning_lengthscale=5.0, movement_variance=1.0,
+        rng_init_int=123,
+    )
+    if "jump" in case_name:
+        kwargs.update(p_move_to_jump=0.02, p_jump_to_move=0.05)
+    if ref_cls_name.startswith("Gaussian"):
+        kwargs["noise_std"] = 0.7
+
+    ref_model = getattr(ref_pkg, ref_cls_name)(N, **kwargs)
+    tpu_model = getattr(tpu_pkg, ref_cls_name)(
+        N, inference_engine=engine, **kwargs
+    )
+    # pin identical params (both packages init from rng_init, but parity
+    # must not depend on matching jax.random call order)
+    tpu_model.params = jnp.asarray(np.asarray(ref_model.params))
+    tpu_model.tuning = jnp.asarray(np.asarray(ref_model.tuning))
+    return ref_model, tpu_model
+
+
+def run_case(case_name, kind, ref_cls_name, engine, T=300, N=12, L=25,
+             n_iter=3, n_time_per_chunk=97):
+    """Fit + decode + NB-decode parity for one model class / engine."""
+    ref_model, tpu_model = build_models(case_name, ref_cls_name, engine, N, L)
+    y = make_data(kind, T, N)
+
+    # shared posterior init from the reference's own sampler
+    log_post_init, _ = ref_model.init_latent_posterior(T, jr.PRNGKey(7))
+    log_post_init_np = np.asarray(log_post_init)
+
+    errs = {}
+
+    em_ref = ref_model.fit_em(
+        y, key=jr.PRNGKey(3), n_iter=n_iter,
+        log_posterior_init=jnp.asarray(log_post_init_np),
+        n_time_per_chunk=n_time_per_chunk, verboase=False,
+    )
+    em_tpu = tpu_model.fit_em(
+        y, key=jr.PRNGKey(3), n_iter=n_iter,
+        log_posterior_init=jnp.asarray(log_post_init_np),
+        n_time_per_chunk=n_time_per_chunk, verboase=False,
+    )
+    errs["fit_log_marginal_l"] = rel_err(
+        np.asarray(em_tpu["log_marginal_l"]), np.asarray(em_ref["log_marginal_l"])
+    )
+    errs["fit_posterior"] = abs_err(em_tpu["posterior"], em_ref["posterior"])
+
+    # decode with the SAME tuning so decode parity is isolated from any
+    # M-step drift
+    tuning = jnp.asarray(np.asarray(em_ref["tuning"]))
+    dec_ref = ref_model.decode_latent(
+        y, tuning=tuning, n_time_per_chunk=n_time_per_chunk
+    )
+    dec_tpu = tpu_model.decode_latent(
+        y, tuning=tuning, n_time_per_chunk=n_time_per_chunk
+    )
+    errs["decode_log_marginal_final"] = rel_err(
+        dec_tpu["log_marginal_final"], dec_ref["log_marginal_final"]
+    )
+    errs["decode_posterior_all"] = abs_err(
+        dec_tpu["posterior_all"], dec_ref["posterior_all"]
+    )
+    errs["decode_one_step_pred"] = rel_err(
+        dec_tpu["log_one_step_predictive_marginals_all"],
+        dec_ref["log_one_step_predictive_marginals_all"],
+    )
+    tkeys = (
+        JOINT_TRANSITION_KEYS if "jump" in case_name else LATENT_TRANSITION_KEYS
+    )
+    for k in tkeys:
+        fn = abs_err if k.startswith("p_") else log_rel_err
+        errs[f"decode_{k}"] = fn(dec_tpu[k], dec_ref[k])
+
+    nb_ref = ref_model.decode_latent_naive_bayes(
+        y, tuning=tuning, n_time_per_chunk=n_time_per_chunk
+    )
+    nb_tpu = tpu_model.decode_latent_naive_bayes(
+        y, tuning=tuning, n_time_per_chunk=n_time_per_chunk
+    )
+    errs["nb_log_marginal_total"] = rel_err(
+        nb_tpu["log_marginal_total"], nb_ref["log_marginal_total"]
+    )
+    errs["nb_posterior_latent"] = abs_err(
+        nb_tpu["posterior_latent"], nb_ref["posterior_latent"]
+    )
+    return errs
+
+
+def check_case_errs(errs):
+    """Return list of (key, err, tol) tolerance breaches."""
+    bad = []
+    for k, v in errs.items():
+        if k == "fit_posterior":
+            tol = TOL_FIT_POSTERIOR
+        elif "posterior" in k or k.startswith("decode_p_"):
+            tol = TOL_POSTERIOR
+        else:
+            tol = TOL_LOG_MARGINAL
+        if not np.isfinite(v) or v > tol:
+            bad.append((k, v, tol))
+    return bad
+
+
+def run_all(engines=("prob", "log"), quick=False):
+    results = {}
+    cases = MODEL_CASES[:1] if quick else MODEL_CASES
+    for case_name, kind, ref_cls in cases:
+        for engine in engines:
+            key = f"{case_name}[{engine}]"
+            errs = run_case(case_name, kind, ref_cls, engine)
+            results[key] = errs
+            worst = max(errs.values())
+            bad = check_case_errs(errs)
+            status = "OK" if not bad else f"FAIL {bad}"
+            print(f"{key:32s} worst={worst:.2e}  {status}", file=sys.stderr)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="flagship class only")
+    args = ap.parse_args()
+
+    if not HAVE_REFERENCE:
+        print("reference not found at /root/reference; nothing to compare",
+              file=sys.stderr)
+        sys.exit(2)
+
+    results = run_all(quick=args.quick)
+    n_bad = sum(len(check_case_errs(e)) for e in results.values())
+    summary = {
+        "tol_log_marginal": TOL_LOG_MARGINAL,
+        "tol_posterior": TOL_POSTERIOR,
+        "n_breaches": n_bad,
+        "worst_fit_log_marginal_rel": max(
+            e["fit_log_marginal_l"] for e in results.values()
+        ),
+        "cases": results,
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PARITY.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({
+        "parity_ok": n_bad == 0,
+        "worst_fit_log_marginal_rel": summary["worst_fit_log_marginal_rel"],
+        "n_cases": len(results),
+    }))
+    sys.exit(0 if n_bad == 0 else 1)
+
+
+if __name__ == "__main__":
+    main()

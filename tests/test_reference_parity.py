@@ -1,0 +1,47 @@
+"""In-tree reference-parity check (VERDICT round-1 item #2).
+
+Asserts <= 1e-5 relative `log_marginal_l` agreement with the actual
+reference implementation at /root/reference over 3 EM iterations plus
+decode / naive-Bayes / transition-posterior parity, for all four model
+classes and both scan engines (marker: reference).  Skips when the
+reference checkout is absent.
+
+Reference anchors: core.py:668 (fit log-marginal), decoder.py:332-375
+(decode 6-tuple + 12-key transition posterior), decoder.py:88-149 (NB).
+"""
+
+import os
+import sys
+
+import pytest
+
+_SCRIPTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+)
+if _SCRIPTS not in sys.path:
+    sys.path.insert(0, _SCRIPTS)
+
+from _reference_stubs import install_reference_stubs  # noqa: E402
+
+HAVE_REFERENCE = install_reference_stubs()
+
+pytestmark = [
+    pytest.mark.reference,
+    pytest.mark.skipif(
+        not HAVE_REFERENCE, reason="reference checkout not available"
+    ),
+]
+
+import parity_vs_reference as pvr  # noqa: E402
+
+
+@pytest.mark.parametrize("engine", ["prob", "log"])
+@pytest.mark.parametrize(
+    "case_name,kind,ref_cls", pvr.MODEL_CASES,
+    ids=[c[0] for c in pvr.MODEL_CASES],
+)
+def test_parity(case_name, kind, ref_cls, engine):
+    errs = pvr.run_case(case_name, kind, ref_cls, engine)
+    bad = pvr.check_case_errs(errs)
+    assert not bad, f"tolerance breaches: {bad} (all errs: {errs})"
+    assert errs["fit_log_marginal_l"] <= pvr.TOL_LOG_MARGINAL
