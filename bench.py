@@ -61,18 +61,18 @@ def main():
     model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters, verboase=False)
     sec_per_iter = (time.time() - t0) / n_timed_iters
     log(f"fit_em: {sec_per_iter:.3f} s/iter at T={T}, L={L}, N={N} "
-        "(default chunking)")
+        "(default auto chunking)")
 
-    # single-chunk variant (chunking is exact, so this is the same program
-    # with fewer host round-trips)
-    model.fit_em(y, key=jr.PRNGKey(3), n_iter=1, n_time_per_chunk=T,
+    # reference-compat 10k chunking diagnostic (chunking is exact; the
+    # default auto path should be at least as fast)
+    model.fit_em(y, key=jr.PRNGKey(3), n_iter=1, n_time_per_chunk=10_000,
                  verboase=False)
     t0 = time.time()
     model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters,
-                 n_time_per_chunk=T, verboase=False)
-    sec_single = (time.time() - t0) / n_timed_iters
-    log(f"fit_em single-chunk: {sec_single:.3f} s/iter")
-    sec_per_iter = min(sec_per_iter, sec_single)
+                 n_time_per_chunk=10_000, verboase=False)
+    sec_10k = (time.time() - t0) / n_timed_iters
+    log(f"fit_em 10k-chunk (reference-compat): {sec_10k:.3f} s/iter")
+    sec_per_iter = min(sec_per_iter, sec_10k)
 
     # decode throughput (secondary diagnostic); block on the posterior so
     # the async dispatch doesn't understate the time

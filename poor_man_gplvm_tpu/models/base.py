@@ -148,7 +148,31 @@ class _GPLVMCommon(ABC):
         return params_init, tuning_init
 
     def _smooth(self, y, tuning, hyperparam, trans, ma_neuron, ma_latent,
-                likelihood_scale, n_time_per_chunk, **smooth_kwargs):
+                likelihood_scale, n_time_per_chunk, mesh=None,
+                **smooth_kwargs):
+        if mesh is not None:
+            # multi-chip E-step: time/neuron sharded over the mesh
+            # (memory_mode/engine are single-chip knobs and do not apply —
+            # time sharding already bounds per-device memory)
+            from poor_man_gplvm_tpu.parallel import spmd
+
+            out = spmd.sharded_smooth(
+                mesh, y, tuning, hyperparam, trans, ma_neuron, ma_latent,
+                likelihood_scale=likelihood_scale,
+                observation_model=self.observation_model,
+            )
+            if smooth_kwargs.get("marginal_smooth"):
+                # emulate the lean contract: (latent_marg, dyn_marg) pair
+                log_acausal = out[0]
+                if self.has_dynamics:
+                    pair = (
+                        logsumexp(log_acausal, axis=1),
+                        logsumexp(log_acausal, axis=2),
+                    )
+                else:
+                    pair = (log_acausal, None)
+                return (pair,) + tuple(out[1:])
+            return out
         return hmm.smooth_combined_chunked(
             y, tuning, hyperparam, trans, ma_neuron, ma_latent,
             likelihood_scale=likelihood_scale,
@@ -216,10 +240,11 @@ class _GPLVMCommon(ABC):
     def fit_em(
         self, y, hyperparam=None, key=None, n_iter=20, log_posterior_init=None,
         opt_state_curr=None, ma_neuron=None, ma_latent=None,
-        n_time_per_chunk=10000, dt=1.0, likelihood_scale=1.0, save_every=None,
+        n_time_per_chunk=None, dt=1.0, likelihood_scale=1.0, save_every=None,
         posterior_init_kwargs=None, verboase=True, profile=False,
         checkpoint_dir=None, checkpoint_every=None, resume=False,
-        output_mode="full", memory_mode=None, nan_guard=None, **kwargs,
+        output_mode="full", memory_mode=None, nan_guard=None, mesh=None,
+        **kwargs,
     ):
         """output_mode='lean' (for T x L scales beyond single-chip HBM):
         the E-step emits only the latent/dynamics marginal posteriors
@@ -350,7 +375,7 @@ class _GPLVMCommon(ABC):
                     _log_pred, _log_acc, _ll,
                 ) = self._smooth(
                     y_, tuning, hyperparam, trans, ma_neuron, ma_latent,
-                    likelihood_scale, n_time_per_chunk,
+                    likelihood_scale, n_time_per_chunk, mesh=mesh,
                     memory_mode=memory_mode or "checkpoint",
                     marginal_smooth=True,
                 )
@@ -368,7 +393,7 @@ class _GPLVMCommon(ABC):
                     _log_pred, _log_acc, _ll,
                 ) = self._smooth(
                     y_, tuning, hyperparam, trans, ma_neuron, ma_latent,
-                    likelihood_scale, n_time_per_chunk,
+                    likelihood_scale, n_time_per_chunk, mesh=mesh,
                     **({"memory_mode": memory_mode} if memory_mode else {}),
                 )
 

@@ -84,7 +84,7 @@ class AbstractGPLVM1D(_GPLVMCommon):
 
     def _decode_latent(
         self, y, tuning, hyperparam, log_latent_transition_kernel, ma_neuron,
-        ma_latent=None, likelihood_scale=1.0, n_time_per_chunk=10000,
+        ma_latent=None, likelihood_scale=1.0, n_time_per_chunk=None,
     ):
         """Decode the latent from an explicit transition matrix
         (reference abstract signature, core.py:126-134)."""
@@ -100,10 +100,11 @@ class AbstractGPLVM1D(_GPLVMCommon):
     # ------------------------------------------------------------------
     def decode_latent(
         self, y, tuning=None, hyperparam=None, ma_neuron=None, ma_latent=None,
-        likelihood_scale=1.0, n_time_per_chunk=10000, t_l=None,
+        likelihood_scale=1.0, n_time_per_chunk=None, t_l=None, mesh=None,
     ):
         """Full smoother decode; 5 base keys + 4 transition-posterior keys
-        (reference core.py:136-177)."""
+        (reference core.py:136-177).  ``mesh``: run the smoother sharded
+        over a ('data','time','neuron') device mesh."""
         hyperparam = {} if hyperparam is None else hyperparam
         if compat.is_tsdframe(y):
             t_l = y.t
@@ -121,7 +122,7 @@ class AbstractGPLVM1D(_GPLVMCommon):
             log_one_step_pred, log_acc, log_likelihood_all,
         ) = self._smooth(
             jnp.asarray(y), tuning, hyperparam, trans, ma_neuron, ma_latent,
-            likelihood_scale, n_time_per_chunk,
+            likelihood_scale, n_time_per_chunk, mesh=mesh,
         )
 
         posterior_all = jnp.exp(log_posterior_all)
@@ -223,7 +224,7 @@ class PoissonGPLVM1D(AbstractGPLVM1D):
 
     def fit_em(
         self, y, hyperparam=None, key=None, n_iter=20, log_posterior_init=None,
-        ma_neuron=None, ma_latent=None, n_time_per_chunk=10000, dt=1.0,
+        ma_neuron=None, ma_latent=None, n_time_per_chunk=None, dt=1.0,
         likelihood_scale=1.0, save_every=None, m_step_step_size=0.01,
         m_step_maxiter=1000, m_step_tol=1e-6, **kwargs,
     ):
@@ -267,14 +268,14 @@ class GaussianGPLVM1D(AbstractGPLVM1D):
 
     def decode_latent(
         self, y, tuning=None, hyperparam=None, ma_neuron=None, ma_latent=None,
-        likelihood_scale=1.0, n_time_per_chunk=10000, t_l=None,
+        likelihood_scale=1.0, n_time_per_chunk=None, t_l=None, mesh=None,
     ):
         hyperparam_ = dict(hyperparam or {})
         hyperparam_["noise_std"] = hyperparam_.get("noise_std", self.noise_std)
         return super().decode_latent(
             y, tuning=tuning, hyperparam=hyperparam_, ma_neuron=ma_neuron,
             ma_latent=ma_latent, likelihood_scale=likelihood_scale,
-            n_time_per_chunk=n_time_per_chunk, t_l=t_l,
+            n_time_per_chunk=n_time_per_chunk, t_l=t_l, mesh=mesh,
         )
 
     def decode_latent_naive_bayes(
@@ -312,7 +313,7 @@ class GaussianGPLVM1D(AbstractGPLVM1D):
 
     def fit_em(
         self, y, hyperparam=None, key=None, n_iter=20, log_posterior_init=None,
-        ma_neuron=None, ma_latent=None, n_time_per_chunk=10000, dt=1.0,
+        ma_neuron=None, ma_latent=None, n_time_per_chunk=None, dt=1.0,
         likelihood_scale=1.0, save_every=None, **kwargs,
     ):
         hyperparam_ = dict(hyperparam or {})

@@ -582,6 +582,34 @@ def filter_combined(
     return post, carry_out[1], prior, ratios, ll
 
 
+def _device_memory_budget():
+    """Best-effort accelerator memory limit in bytes (fallback 8 GB)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return float(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 8e9
+
+
+def auto_chunk_size(n_time_tot, state_size, n_latent):
+    """HBM-estimate-driven ``n_time_per_chunk`` (used when None is passed).
+
+    Single chunk whenever the full-mode working set fits comfortably —
+    chunking is mathematically exact (reference decoder.py:258-332) so its
+    only upside is bounding peak memory, while every extra chunk costs host
+    round-trips.  Past that, size chunks so the per-chunk filter working set
+    stays within a fraction of the device budget, never below the
+    reference-compat 10000 (reference core.py:261,594)."""
+    per_t = (3 * state_size + n_latent) * 4  # posterior+prior+ratio+ll, f32
+    budget = _device_memory_budget()
+    if n_time_tot * per_t <= min(4e9, 0.5 * budget):
+        return int(n_time_tot)
+    chunk = int(max(1e9, 0.125 * budget) // per_t)
+    return int(np.clip(chunk, 10_000, n_time_tot))
+
+
 def smooth_combined_chunked(
     y,
     tuning,
@@ -590,7 +618,7 @@ def smooth_combined_chunked(
     ma_neuron,
     ma_latent=None,
     likelihood_scale=1.0,
-    n_time_per_chunk=10000,
+    n_time_per_chunk=None,
     observation_model="poisson",
     engine="prob",
     dt_l=None,
@@ -609,6 +637,11 @@ def smooth_combined_chunked(
     The backward pass consumes the +1-shifted causal prior exactly as the
     reference (decoder.py:315): chunk [a, b) pairs with priors [a+1, b+1),
     and the final timestep's smoothed posterior equals its filter posterior.
+
+    ``n_time_per_chunk=None`` (the default) resolves via ``auto_chunk_size``:
+    one chunk when the full working set fits on-device, else an HBM-driven
+    size — results are identical either way (chunking is exact), only peak
+    memory and host round-trips differ.
 
     ``memory_mode``: 'full' stores the filter posteriors/priors/likelihoods
     for the whole sequence (reference behaviour); 'checkpoint' stores only
@@ -630,6 +663,12 @@ def smooth_combined_chunked(
         )
     y = jnp.asarray(y)
     n_time_tot = y.shape[0]
+    if n_time_per_chunk is None:
+        n_time_per_chunk = auto_chunk_size(
+            n_time_tot,
+            int(np.prod(trans.uniform_log_init().shape)),
+            tuning.shape[0],
+        )
     n_chunks = -(-n_time_tot // n_time_per_chunk)
 
     ma_neuron = jnp.asarray(ma_neuron, dtype=jnp.float32)

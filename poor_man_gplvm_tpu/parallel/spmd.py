@@ -1,4 +1,4 @@
-"""Multi-chip SPMD EM over a ('data', 'time', 'neuron') device mesh.
+"""Multi-chip SPMD inference/EM over a ('data', 'time', 'neuron') device mesh.
 
 The reference is single-process, single-device (SURVEY.md §2.5); this module
 is the TPU-native scaling layer built on ``jax.shard_map`` + XLA collectives
@@ -11,16 +11,18 @@ over ICI:
   (reference decoder.py:43), so each shard computes its neurons' partial
   (T, L) term and a ``psum`` over 'neuron' completes it.  The M-step
   decouples over neurons entirely (objective and prior are per-neuron sums),
-  so params/opt-state shard over the neuron axis with NO communication.
+  so params/opt-state shard over the neuron axis; only the scalar loss used
+  by the Adam stopping rule is psum'd (keeping the reference's global-loss
+  convergence semantics, fit_tuning_helper.py:154-164).
 * **time** (SP): the forward/backward scans are inherently sequential, so
-  time sharding uses a staged ppermute pipeline: at stage ``s`` device ``s``
-  holds the true boundary carry, runs its local chunk scan, and hands the
-  carry to device ``s+1``.  Exact — same semantics as the reference's host
-  chunk loop (decoder.py:283-324) with the carry riding ICI instead of HBM.
-  Wall-clock for one sequence stays O(T) (the recursion is the critical
-  path) but per-device memory drops to O(T / n_time) and all matmul work
-  (emissions, sufficient statistics, pairwise-joint accumulation)
-  parallelizes.
+  time sharding uses a **software-pipelined staged ppermute schedule**: at
+  global step k, time-shard s runs chain b = k - s's local chunk scan and
+  hands the boundary carry to shard s+1.  Chains stream through the shard
+  pipeline, so a batch of B chains costs (B + n_time - 1) stage-times
+  instead of B * n_time — every device does useful work at (almost) every
+  step once the pipeline fills.  Exact — same semantics as the reference's
+  host chunk loop (decoder.py:283-324) with the carry riding ICI instead of
+  HBM.  Per-device memory is O(B * T / n_time).
 
 Pipeline parallelism (PP) and expert parallelism (EP) have no counterpart in
 this model family (no layer stack, no MoE — SURVEY.md §2.5); sequence
@@ -35,6 +37,13 @@ operator product multiplies total FLOPs by S (~200-1000 here).  The
 associative formulation only wins beyond ~S chips; at realistic slice
 sizes the exact carry hand-off pipeline (plus full parallelism of all the
 matmul-shaped work) dominates, so that is what this module implements.
+
+Arbitrary T and N are supported by exact padding: neurons pad with
+zero-masked columns (their LL contribution is identically 0), time pads
+with zero-masked rows — a padded step has uniform likelihood, so its filter
+ratio is log(1) = 0 (no log-marginal contribution) and its backward pull
+factor is exactly 1 (no smoothing contribution); padded rows are sliced off
+on the way out and masked out of the pairwise-joint accumulation.
 """
 
 from __future__ import annotations
@@ -46,29 +55,60 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax import lax
-from jax.scipy.special import gammaln
 from jax.sharding import Mesh, PartitionSpec as P
 
-from poor_man_gplvm_tpu.ops.emissions import PRECISION, RATE_FLOOR
-from poor_man_gplvm_tpu.ops.hmm import (
-    _backward_scan_prob,
-    _forward_scan_prob,
-    prob_to_log,
+from poor_man_gplvm_tpu.ops.emissions import (
+    MASK_NEG,
+    gaussian_loglik,
+    poisson_loglik,
 )
+from poor_man_gplvm_tpu.ops.hmm import _forward_scan_prob, prob_to_log
 from poor_man_gplvm_tpu.ops import mstep as fth
 
-__all__ = ["factorize_devices", "make_mesh", "make_sharded_poisson_em_step"]
+__all__ = [
+    "factorize_devices",
+    "make_mesh",
+    "sharded_smooth",
+    "make_sharded_em_step",
+    "make_sharded_poisson_em_step",
+]
 
 
-def factorize_devices(n, batch=1):
+def factorize_devices(n, batch=1, n_neuron=None, n_time=None):
     """Split n devices into (data, time, neuron) axis sizes.
 
-    Puts min(batch, n) on data, then splits the rest between time and
-    neuron (time-heavy, since sequence length is the dominant scale)."""
+    Heuristic cost model: data parallelism is free (independent chains), so
+    it gets the largest divisor of n that is <= ``batch``.  Of the rest,
+    time sharding buys O(T/d_time) per-device memory on the dominant scale
+    (sequence length) plus pipeline throughput for batched chains, while
+    neuron sharding parallelizes the emission matmuls and the M-step with a
+    single psum — worth ~2 ways until N_local drops under the MXU tile
+    (128).  Default split: time-heavy with neuron capped at 2.  Callers
+    with different shapes (e.g. N=2000 neurons, short sequences) pass
+    ``n_neuron``/``n_time`` to request axis sizes explicitly."""
     data = 1
     while data * 2 <= n and data * 2 <= batch and n % (data * 2) == 0:
         data *= 2
     rest = n // data
+    if n_neuron is not None or n_time is not None:
+        if n_neuron is None:
+            if rest % n_time:
+                raise ValueError(
+                    f"n_time={n_time} does not divide {rest} (= n/data)"
+                )
+            n_neuron = rest // n_time
+        elif n_time is None:
+            if rest % n_neuron:
+                raise ValueError(
+                    f"n_neuron={n_neuron} does not divide {rest} (= n/data)"
+                )
+            n_time = rest // n_neuron
+        if data * n_time * n_neuron != n:
+            raise ValueError(
+                f"data({data}) * time({n_time}) * neuron({n_neuron}) != {n}; "
+                f"pass batch/n_time/n_neuron that factor the device count"
+            )
+        return data, n_time, n_neuron
     neuron = 1
     if rest % 2 == 0 and rest > 2:
         neuron = 2
@@ -76,13 +116,26 @@ def factorize_devices(n, batch=1):
     return data, time, neuron
 
 
-def make_mesh(n_devices=None, batch=1, devices=None):
-    """Build a ('data', 'time', 'neuron') mesh over the available devices."""
+def make_mesh(n_devices=None, batch=1, devices=None, shape=None,
+              n_neuron=None, n_time=None):
+    """Build a ('data', 'time', 'neuron') mesh over the available devices.
+
+    ``shape``: explicit (data, time, neuron) tuple overriding the heuristic;
+    ``n_neuron``/``n_time``: request single axis sizes (the rest inferred)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
-    shape = factorize_devices(n_devices, batch)
+    if shape is not None:
+        if int(np.prod(shape)) != n_devices:
+            raise ValueError(
+                f"mesh shape {tuple(shape)} does not multiply to "
+                f"{n_devices} devices"
+            )
+    else:
+        shape = factorize_devices(
+            n_devices, batch, n_neuron=n_neuron, n_time=n_time
+        )
     arr = np.array(devices[:n_devices]).reshape(shape)
     return Mesh(arr, ("data", "time", "neuron"))
 
@@ -92,129 +145,106 @@ def make_mesh(n_devices=None, batch=1, devices=None):
 # ---------------------------------------------------------------------------
 
 
-def _poisson_ll_partial(y, tuning):
-    """Per-neuron-shard partial Poisson LL: psum over 'neuron' completes it.
-    No latent mask here (applied post-psum if needed)."""
-    lam = tuning + RATE_FLOOR  # (L, N_local)
-    ll = (
-        jnp.matmul(y, jnp.log(lam).T, precision=PRECISION)
-        - lam.sum(axis=1)[None, :]
-        - gammaln(y + 1.0).sum(axis=1)[:, None]
+def _ll_partial(y, tuning, ma2d, emission, noise_std):
+    """Per-neuron-shard partial emission LL (T_local, L): psum over
+    'neuron' completes it.  Latent masks are applied post-psum.  Reuses the
+    MXU matmul forms from ops.emissions with an all-ones latent mask."""
+    ones_lat = jnp.ones(tuning.shape[0], dtype=bool)
+    if emission == "poisson":
+        return poisson_loglik(y, tuning, ma2d, ones_lat)
+    return gaussian_loglik(y, tuning, noise_std, ma2d, ones_lat)
+
+
+def _commit(buf, new, b, valid):
+    """Write ``new`` into buf[b] when valid, else keep buf[b] (b clipped)."""
+    cur = lax.dynamic_index_in_dim(buf, b, axis=0, keepdims=False)
+    return lax.dynamic_update_index_in_dim(
+        buf, jnp.where(valid, new, cur), b, axis=0
     )
-    return ll  # (T_local, L)
 
 
-def _pipeline_forward(ll, trans, likelihood_scale, axis_name):
-    """Exact staged-pipeline causal filter over a time-sharded sequence.
+def _match_vma(x, target_vma):
+    """Promote x to vary over ``target_vma`` so loop carries type-check
+    under shard_map's varying-mesh-axes tracking (loop-carried values must
+    enter with the vma they leave with)."""
+    missing = tuple(target_vma - jax.typeof(x).vma)
+    return lax.pcast(x, missing, to="varying") if missing else x
 
-    Every device runs its local scan at every stage; only the stage owner's
-    outputs are committed, and its final carry is ppermute'd to the next
-    shard.  Returns (post, prior, ratios) committed locally plus the global
-    (final_posterior, log_marginal)."""
+
+def _staggered_forward(ll, trans, likelihood_scale, axis_name):
+    """Software-pipelined exact causal filter over a time-sharded batch.
+
+    ll: (B_local, T_local, L).  At global step k, time-shard s runs chain
+    b = k - s's local scan, so B chains drain in (B_local + n_time - 1)
+    stage-times.  Shard s's received carry at step k is always shard s-1's
+    step-(k-1) output for the same chain, so the hand-off is exact.
+
+    Returns post, prior (B_local, T_local, *state), ratios
+    (B_local, T_local) [per-step log marginal ratios], lml (B_local,),
+    final_post (B_local, *state) — the last two broadcast to all shards."""
     nt = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
+    Bl, Tl = ll.shape[0], ll.shape[1]
     state_shape = trans.uniform_log_init().shape
+    # loop-carried values must enter the fori_loop varying over the same
+    # mesh axes they leave with (ll's axes plus the time axis via idx)
+    vma = jax.typeof(ll).vma | {axis_name}
+    prom = partial(_match_vma, target_vma=vma)
+    fresh = (
+        prom(jnp.exp(trans.uniform_log_init()).astype(ll.dtype)),
+        prom(jnp.array(0.0, dtype=ll.dtype)),
+    )
 
-    carry = (jnp.exp(trans.uniform_log_init()), jnp.array(0.0, dtype=ll.dtype))
-    post = jnp.zeros(ll.shape[:1] + state_shape, dtype=ll.dtype)
-    prior = jnp.zeros_like(post)
-    ratios = jnp.zeros(ll.shape[0], dtype=ll.dtype)
-    final_carry = carry
+    post = prom(jnp.zeros((Bl, Tl) + state_shape, dtype=ll.dtype))
+    prior = prom(jnp.zeros_like(post))
+    ratios = prom(jnp.zeros((Bl, Tl), dtype=ll.dtype))
+    lml = prom(jnp.zeros((Bl,), dtype=ll.dtype))
+    final_post = prom(jnp.zeros((Bl,) + state_shape, dtype=ll.dtype))
 
-    perm = [(i, i + 1) for i in range(nt - 1)]
+    perm_fwd = [(i, i + 1) for i in range(nt - 1)]
 
-    def stage(s, val):
-        carry, post, prior, ratios, final_carry = val
+    def step_k(k, val):
+        recv, post, prior, ratios, lml, final_post = val
+        b = k - idx
+        valid = (b >= 0) & (b < Bl)
+        bc = jnp.clip(b, 0, Bl - 1)
+        # shard 0 always starts a fresh chain; everyone else continues the
+        # carry received from the previous shard
+        carry0 = jax.tree.map(
+            lambda f, r: jnp.where(idx == 0, f, r), fresh, recv
+        )
+        ll_b = lax.dynamic_index_in_dim(ll, bc, axis=0, keepdims=False)
         p_out, pr_out, ra_out, carry_out = _forward_scan_prob(
-            ll, trans, carry, likelihood_scale
+            ll_b, trans, carry0, likelihood_scale
         )
-        mine = idx == s
-        post = jnp.where(mine, p_out, post)
-        prior = jnp.where(mine, pr_out, prior)
-        ratios = jnp.where(mine, ra_out, ratios)
-        is_global_last = jnp.logical_and(mine, s == nt - 1)
-        final_carry = jax.tree.map(
-            lambda new, old: jnp.where(is_global_last, new, old),
-            carry_out,
-            final_carry,
+        post = _commit(post, p_out, bc, valid)
+        prior = _commit(prior, pr_out, bc, valid)
+        ratios = _commit(ratios, ra_out, bc, valid)
+        on_last = valid & (idx == nt - 1)
+        lml = _commit(lml, carry_out[1], bc, on_last)
+        final_post = _commit(final_post, carry_out[0], bc, on_last)
+        recv = jax.tree.map(
+            lambda x: lax.ppermute(x, axis_name, perm_fwd), carry_out
         )
-        carry_next = jax.tree.map(
-            lambda x: lax.ppermute(x, axis_name, perm), carry_out
-        )
-        # keep our own carry until our stage arrives; adopt the received one
-        # afterwards (it is only meaningful right before our stage anyway)
-        carry = jax.tree.map(
-            lambda rcv, cur: jnp.where(idx > s, rcv, cur), carry_next, carry
-        )
-        return carry, post, prior, ratios, final_carry
+        return recv, post, prior, ratios, lml, final_post
 
-    carry, post, prior, ratios, final_carry = lax.fori_loop(
-        0, nt, stage, (carry, post, prior, ratios, final_carry)
+    _, post, prior, ratios, lml, final_post = lax.fori_loop(
+        0, Bl + nt - 1, step_k,
+        (fresh, post, prior, ratios, lml, final_post),
     )
-    # broadcast the last shard's final carry to everyone
-    final_carry = jax.tree.map(
-        lambda x: lax.psum(jnp.where(idx == nt - 1, x, jnp.zeros_like(x)),
-                           axis_name),
-        final_carry,
-    )
-    return post, prior, ratios, final_carry
-
-
-def _pipeline_backward(filt, prior, trans, axis_name):
-    """Exact staged-pipeline smoother (reverse order) over time shards.
-
-    Uniform-shape trick: every device scans all T_local rows; the globally
-    last row is made a no-op by feeding a ones carry/prior (ratio == 1, so
-    smooth == filt there, matching reference decoder.py:236-254), and its
-    spurious pairwise-joint contribution is masked out of the accumulation.
-    """
-    nt = lax.axis_size(axis_name)
-    idx = lax.axis_index(axis_name)
-    t_local = filt.shape[0]
-    is_last = idx == nt - 1
-
-    # next shard's first prior (device i receives from i+1)
-    perm_bwd = [(i + 1, i) for i in range(nt - 1)]
-    recv_first_prior = lax.ppermute(prior[0], axis_name, perm_bwd)
-    ones_state = jnp.ones_like(prior[0])
-    next_first_prior = jnp.where(is_last, ones_state, recv_first_prior)
-    prior_shifted = jnp.concatenate([prior[1:], next_first_prior[None]], axis=0)
-
-    smooth = jnp.zeros_like(filt)
-    ratios_r = jnp.zeros_like(filt)
-    carry = ones_state  # meaningful only for the last shard at its stage
-
-    def stage(k, val):
-        s = nt - 1 - k
-        carry, smooth, ratios_r = val
-        sm_out, r_out = _backward_scan_with_ratios(
-            filt, prior_shifted, trans, carry
+    # broadcast the last shard's finals to every time shard
+    def _bcast(x):
+        return lax.psum(
+            jnp.where(idx == nt - 1, x, jnp.zeros_like(x)), axis_name
         )
-        mine = idx == s
-        smooth = jnp.where(mine, sm_out, smooth)
-        ratios_r = jnp.where(mine, r_out, ratios_r)
-        carry_next = lax.ppermute(sm_out[0], axis_name, perm_bwd)
-        carry = jnp.where(idx < s, carry_next, carry)
-        return carry, smooth, ratios_r
 
-    carry, smooth, ratios_r = lax.fori_loop(
-        0, nt, stage, (carry, smooth, ratios_r)
-    )
-
-    # pairwise-joint accumulation: mask the global-last no-op row, psum parts
-    t_idx = jnp.arange(t_local)
-    keep = jnp.where(
-        jnp.logical_and(is_last, t_idx == t_local - 1), 0.0, 1.0
-    ).astype(filt.dtype)
-    ratios_masked = ratios_r * keep.reshape((-1,) + (1,) * (filt.ndim - 1))
-    acc = trans.outer_acc(filt, ratios_masked)
-    acc = lax.psum(acc, axis_name)
-    return smooth, acc
+    return post, prior, ratios, _bcast(lml), _bcast(final_post)
 
 
 def _backward_scan_with_ratios(filt_xs, prior_xs, trans, smooth_init):
-    """_backward_scan_prob variant that returns the per-step ratio outputs
-    (the accumulation happens at the pipeline level after masking)."""
+    """_backward_scan_prob variant that returns the per-step pull ratios
+    (the pairwise-joint accumulation happens at the pipeline level after
+    masking out padded / global-last rows)."""
 
     def step(p_smooth_next, x):
         p_filt_t, p_prior_next = x
@@ -232,52 +262,259 @@ def _backward_scan_with_ratios(filt_xs, prior_xs, trans, smooth_init):
     return smooth, ratios
 
 
+def _staggered_backward(filt, prior, trans, axis_name, n_time_valid=None):
+    """Software-pipelined exact smoother (reverse stage order) over a
+    time-sharded batch.  filt/prior: (B_local, T_local, *state).
+
+    Uniform-shape trick: the globally last row is made a no-op by feeding a
+    ones carry/prior (pull ratio == 1, so smooth == filt there, matching
+    reference decoder.py:236-254); its spurious pairwise-joint term — and
+    those of any padded rows past ``n_time_valid`` — are masked out of the
+    accumulation.  Returns smooth (B_local, T_local, *state) and the
+    psum'd accumulated joint acc (B_local, *joint_shape)."""
+    nt = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    Bl, Tl = filt.shape[0], filt.shape[1]
+    is_last = idx == nt - 1
+    vma = jax.typeof(filt).vma | {axis_name}
+    prom = partial(_match_vma, target_vma=vma)
+
+    # next shard's first prior, per chain (device i receives from i+1)
+    perm_bwd = [(i + 1, i) for i in range(nt - 1)]
+    recv_first_prior = lax.ppermute(prior[:, 0], axis_name, perm_bwd)
+    ones_state = prom(jnp.ones_like(prior[:, 0]))  # (Bl, *state)
+    next_first_prior = jnp.where(is_last, ones_state, recv_first_prior)
+    prior_shifted = jnp.concatenate(
+        [prior[:, 1:], next_first_prior[:, None]], axis=1
+    )
+
+    smooth = prom(jnp.zeros_like(filt))
+    ratios_r = prom(jnp.zeros_like(filt))
+    ones_one = ones_state[0]
+
+    def step_k(k, val):
+        recv, smooth, ratios_r = val
+        # chain b's backward visits shard nt-1 at step b, shard s at
+        # step b + (nt-1-s)
+        b = k - (nt - 1 - idx)
+        valid = (b >= 0) & (b < Bl)
+        bc = jnp.clip(b, 0, Bl - 1)
+        carry0 = jnp.where(is_last, ones_one, recv)
+        filt_b = lax.dynamic_index_in_dim(filt, bc, axis=0, keepdims=False)
+        prior_b = lax.dynamic_index_in_dim(
+            prior_shifted, bc, axis=0, keepdims=False
+        )
+        sm_out, r_out = _backward_scan_with_ratios(
+            filt_b, prior_b, trans, carry0
+        )
+        smooth = _commit(smooth, sm_out, bc, valid)
+        ratios_r = _commit(ratios_r, r_out, bc, valid)
+        recv = lax.ppermute(sm_out[0], axis_name, perm_bwd)
+        return recv, smooth, ratios_r
+
+    _, smooth, ratios_r = lax.fori_loop(
+        0, Bl + nt - 1, step_k, (ones_one, smooth, ratios_r)
+    )
+
+    # pairwise-joint accumulation: row t pairs states (t, t+1), so real
+    # pairs are t in [0, T_valid - 2]; mask padded rows and the final row
+    global_t = idx * Tl + jnp.arange(Tl)
+    if n_time_valid is None:
+        n_time_valid = nt * Tl
+    keep = (global_t < n_time_valid - 1).astype(filt.dtype)
+    keep = keep.reshape((1, Tl) + (1,) * (filt.ndim - 2))
+    acc = jax.vmap(trans.outer_acc)(filt, ratios_r * keep)
+    acc = lax.psum(acc, axis_name)
+    return smooth, acc
+
+
 # ---------------------------------------------------------------------------
-# the full sharded EM step
+# drop-in sharded smoother (single sequence) for the model classes
 # ---------------------------------------------------------------------------
 
 
-def make_sharded_poisson_em_step(
+def _pad_axis(arr, axis, mult):
+    n = arr.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(arr, widths)
+
+
+def sharded_smooth(
+    mesh,
+    y,
+    tuning,
+    hyperparam,
+    trans,
+    ma_neuron,
+    ma_latent=None,
+    likelihood_scale=1.0,
+    observation_model="poisson",
+):
+    """Multi-chip forward-backward smoother: drop-in for
+    ``hmm.smooth_combined_chunked`` returning the same 6-tuple
+    ``(log_acausal, log_marginal_final, log_causal, log_one_step_pred,
+    log_accumulated_joint, log_likelihood_all)`` (reference
+    decoder.py:258-332) with time sharded over mesh['time'] and neurons
+    over mesh['neuron'].  log_likelihood_all is None (the full (T, L) LL is
+    never materialized unsharded).
+
+    Works for both state spaces (JointTransition / LatentTransition) and
+    both emissions.  T and N need not divide the mesh: padding is exact
+    (module docstring)."""
+    d_time = mesh.shape["time"]
+    d_neuron = mesh.shape["neuron"]
+    y = jnp.asarray(y, dtype=jnp.float32)
+    T, N = y.shape
+    L = tuning.shape[0]
+
+    ma_neuron = jnp.asarray(ma_neuron, dtype=jnp.float32)
+    ma2d = jnp.broadcast_to(ma_neuron, y.shape)
+    if ma_latent is None:
+        ma_latent = jnp.ones(L, dtype=jnp.float32)
+    ma_latent = jnp.asarray(ma_latent, dtype=bool)
+
+    noise_std = jnp.asarray(
+        hyperparam.get("noise_std", 1.0), dtype=jnp.float32
+    )
+    if noise_std.ndim == 1:
+        # pad per-neuron stds with 1.0 so log(std) stays finite (padded
+        # neurons are fully masked, so their value never matters)
+        pad = (-N) % d_neuron
+        noise_std = jnp.concatenate(
+            [noise_std, jnp.ones(pad, noise_std.dtype)]
+        ) if pad else noise_std
+
+    # exact padding: masked-out rows/columns contribute identically zero
+    y_p = _pad_axis(_pad_axis(y, 0, d_time), 1, d_neuron)
+    ma_p = _pad_axis(_pad_axis(ma2d, 0, d_time), 1, d_neuron)
+    # padded tuning columns must stay positive for log(lam)
+    tuning_p = _pad_axis(tuning, 1, d_neuron)
+    if tuning_p.shape != tuning.shape:
+        pad_cols = tuning_p.shape[1] - N
+        tuning_p = jnp.concatenate(
+            [tuning, jnp.ones((L, pad_cols), tuning.dtype)], axis=1
+        )
+    Tp = y_p.shape[0]
+
+    noise_spec = P("neuron") if noise_std.ndim == 1 else P()
+
+    def local(y_b, tuning_b, ma_b, ma_lat, noise_b):
+        idx = lax.axis_index("time")
+        Tl = y_b.shape[0]
+        ll = lax.psum(
+            _ll_partial(y_b, tuning_b, ma_b, observation_model, noise_b),
+            "neuron",
+        )
+        # latent mask on real rows only (padded rows must stay uniform so
+        # they are exact no-ops)
+        global_t = idx * Tl + jnp.arange(Tl)
+        row_real = (global_t < T)[:, None]
+        ll = jnp.where(row_real & ~ma_lat[None, :], MASK_NEG, ll)
+
+        post, prior, ratios, lml, _final = _staggered_forward(
+            ll[None], trans, likelihood_scale, "time"
+        )
+        smooth, acc = _staggered_backward(
+            post, prior, trans, "time", n_time_valid=T
+        )
+        return (
+            prob_to_log(smooth[0]),
+            lml[0],
+            prob_to_log(post[0]),
+            ratios[0],
+            prob_to_log(acc[0]),
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("time", "neuron"),
+            P(None, "neuron"),
+            P("time", "neuron"),
+            P(),
+            noise_spec,
+        ),
+        out_specs=(P("time"), P(), P("time"), P("time"), P()),
+    )
+    log_smooth, lml, log_causal, ratios, log_acc = jax.jit(fn)(
+        y_p, tuning_p, ma_p, ma_latent, noise_std
+    )
+    return (
+        log_smooth[:T],
+        lml,
+        log_causal[:T],
+        ratios[:T],
+        log_acc,
+        None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the full sharded EM step (batched fan-out path)
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_em_step(
     mesh,
     basis,
     trans,
+    emission="poisson",
     param_prior_std=1.0,
+    noise_std=0.5,
     likelihood_scale=1.0,
     m_step_size=0.01,
     m_maxiter=100,
     m_tol=1e-6,
 ):
-    """Build a jitted multi-chip EM step for the Poisson jump/latent model.
+    """Build a jitted multi-chip EM step.
+
+    ``emission``: 'poisson' (softplus link, while-loop Adam M-step with the
+    reference's global-loss stopping rule) or 'gaussian' (linear link,
+    analytic ridge M-step — reference fit_tuning_helper.py:44-61 — which
+    needs no communication beyond the psum'd sufficient statistics).
+    ``trans``: JointTransition (jump models) or LatentTransition
+    (latent-only models).
 
     Returns ``step(params, opt_state, log_post_latent, y) -> (params',
-    opt_state', log_post_latent', log_marginal)`` where
+    opt_state', log_post_latent', log_marginal, final_loss)`` where
 
-    - ``y``: (B, T, N) counts, sharded P('data', 'time', 'neuron')
+    - ``y``: (B, T, N) observations, sharded P('data', 'time', 'neuron')
     - ``params``: (B, n_basis, N), sharded P('data', None, 'neuron')
     - ``log_post_latent``: (B, T, L), sharded P('data', 'time', None)
     - ``log_marginal``: (B,), sharded P('data')
 
     One call = reference EM iteration i (M-step on the current posterior,
     then E-step with the new tuning; reference core.py:650-669), entirely
-    on-device across the mesh.
-    """
+    on-device across the mesh; B chains pipeline through the time shards in
+    (B_local + d_time - 1) stage-times."""
     opt = optax.adam(m_step_size)
-    hyperparam = {"param_prior_std": param_prior_std}
+    hyperparam = {
+        "param_prior_std": param_prior_std, "noise_std": noise_std,
+    }
 
-    def local_em_step(params_b, opt_state_b, log_post_b, y_b):
-        # ---- M-step (neuron-sharded params; stats psum'd over time) ----
-        post = jnp.exp(log_post_b)  # (T_l, L)
-        y_w = lax.psum(
-            jnp.matmul(post.T, y_b, precision=PRECISION), "time"
-        )  # (L, N_l)
-        t_w = lax.psum(post.sum(axis=0), "time")  # (L,)
-
+    def adam_mstep_one(params_b, opt_state_b, y_w, t_w):
         def objective(p):
-            return fth.poisson_m_step_objective(p, hyperparam, basis, y_w, t_w)
+            return fth.poisson_m_step_objective(
+                p, hyperparam, basis, y_w, t_w
+            )
+
+        def global_loss(local_loss):
+            # params are neuron-sharded; each shard's objective term (LL +
+            # prior over its params) sums to the reference's global loss,
+            # and using it in the stopping rule keeps trip counts uniform
+            # across neuron shards (reference fit_tuning_helper.py:154-164)
+            return lax.psum(local_loss, "neuron")
 
         def cond_fun(c):
             i, _, _, loss, loss_prev = c
-            rel = jnp.abs(loss - loss_prev) / jnp.maximum(jnp.abs(loss), 1e-8)
+            rel = jnp.abs(loss - loss_prev) / jnp.maximum(
+                jnp.abs(loss), 1e-8
+            )
             return (i < (m_maxiter - 1)) & ((i < 5) | (rel > m_tol))
 
         def body_fun(c):
@@ -285,41 +522,78 @@ def make_sharded_poisson_em_step(
             new_loss, grads = jax.value_and_grad(objective)(p)
             updates, s = opt.update(grads, s, p)
             p = optax.apply_updates(p, updates)
-            return (i + 1, p, s, new_loss, loss)
+            return (i + 1, p, s, global_loss(new_loss), loss)
 
-        loss0 = objective(params_b)
+        loss0 = global_loss(objective(params_b))
         _, params_new, opt_state_new, final_loss, _ = lax.while_loop(
             cond_fun, body_fun, (0, params_b, opt_state_b, loss0, loss0)
         )
+        return params_new, opt_state_new, final_loss
 
-        # ---- E-step ----
-        tuning_local = fth.get_tuning_softplus(params_new, basis)  # (L, N_l)
-        ll = lax.psum(_poisson_ll_partial(y_b, tuning_local), "neuron")
-        post_f, prior_f, ratios, final_carry = _pipeline_forward(
+    def local_em_step(params, opt_state, log_post, y):
+        # shapes (local): params (Bl, n_basis, Nl), log_post (Bl, Tl, L),
+        # y (Bl, Tl, Nl)
+        # ---- M-step (neuron-sharded params; stats psum'd over time) ----
+        post = jnp.exp(log_post)
+        y_w = lax.psum(
+            jnp.einsum("btl,btn->bln", post, y), "time"
+        )  # (Bl, L, Nl)
+        t_w = lax.psum(post.sum(axis=1), "time")  # (Bl, L)
+
+        if emission == "poisson":
+            params_new, opt_state_new, final_loss = jax.vmap(adam_mstep_one)(
+                params, opt_state, y_w, t_w
+            )
+            tuning_local = jax.vmap(
+                lambda p: fth.get_tuning_softplus(p, basis)
+            )(params_new)  # (Bl, L, Nl)
+        else:
+            params_new = jax.vmap(
+                lambda yw, tw: fth.gaussian_m_step_analytic(
+                    hyperparam, basis, yw, tw
+                )
+            )(y_w, t_w)
+            opt_state_new = opt_state
+            tuning_local = jax.vmap(
+                lambda p: fth.get_tuning_linear(p, basis)
+            )(params_new)
+
+        # ---- E-step (staggered pipeline over time shards) ----
+        ll = lax.psum(
+            jax.vmap(
+                lambda yb, tb: _ll_partial(
+                    yb, tb, jnp.ones_like(yb), emission, noise_std
+                )
+            )(y, tuning_local),
+            "neuron",
+        )
+        post_f, prior_f, _ratios, lml, _final = _staggered_forward(
             ll, trans, likelihood_scale, "time"
         )
-        log_marginal = final_carry[1]
-        smooth, _acc = _pipeline_backward(post_f, prior_f, trans, "time")
+        if emission != "poisson":
+            # analytic M-step has no loss; emit a zero with lml's vma so
+            # the P('data') out_spec type-checks
+            final_loss = 0.0 * lml
+        smooth, _acc = _staggered_backward(post_f, prior_f, trans, "time")
         # latent marginal for the next M-step (reference core.py:668)
-        if smooth.ndim == 3:  # joint model: (T_l, n_dyn, L)
-            post_latent = smooth.sum(axis=1)
+        if smooth.ndim == 4:  # joint model: (Bl, Tl, n_dyn, L)
+            post_latent = smooth.sum(axis=2)
         else:
             post_latent = smooth
-        return params_new, opt_state_new, prob_to_log(post_latent), log_marginal, final_loss
-
-    def sharded_step(params, opt_state, log_post, y):
-        # vmap over the local batch slice (chains on this data shard)
-        return jax.vmap(local_em_step)(params, opt_state, log_post, y)
+        return (
+            params_new, opt_state_new, prob_to_log(post_latent), lml,
+            final_loss,
+        )
 
     def _opt_spec(leaf):
-        if leaf.ndim >= 3:
+        if hasattr(leaf, "ndim") and leaf.ndim >= 3:
             return P("data", None, "neuron")
         return P("data")
 
     def build(params, opt_state, log_post, y):
         opt_specs = jax.tree.map(_opt_spec, opt_state)
         fn = jax.shard_map(
-            sharded_step,
+            local_em_step,
             mesh=mesh,
             in_specs=(
                 P("data", None, "neuron"),
@@ -334,8 +608,26 @@ def make_sharded_poisson_em_step(
                 P("data"),
                 P("data"),
             ),
-                    check_vma=False,
         )
         return jax.jit(fn)(params, opt_state, log_post, y)
 
     return build
+
+
+def make_sharded_poisson_em_step(
+    mesh,
+    basis,
+    trans,
+    param_prior_std=1.0,
+    likelihood_scale=1.0,
+    m_step_size=0.01,
+    m_maxiter=100,
+    m_tol=1e-6,
+):
+    """Back-compat wrapper: Poisson jump/latent EM step (returns the same
+    5-tuple as ``make_sharded_em_step(emission='poisson')``)."""
+    return make_sharded_em_step(
+        mesh, basis, trans, emission="poisson",
+        param_prior_std=param_prior_std, likelihood_scale=likelihood_scale,
+        m_step_size=m_step_size, m_maxiter=m_maxiter, m_tol=m_tol,
+    )

@@ -45,7 +45,10 @@ model_class_dict = {
 default_fit_kwargs = {
     "n_iter": 20,
     "log_posterior_init": None,
-    "n_time_per_chunk": 10000,
+    # None = HBM-driven auto chunking (single chunk when it fits); the
+    # reference pins 10000 (model_selection_helper.py:16) but chunking is
+    # exact so only memory/latency differ
+    "n_time_per_chunk": None,
     "dt": 1.0,
     "likelihood_scale": 1.0,
     "save_every": None,
@@ -87,7 +90,7 @@ def evaluate_model_one_config(
     model_fit_l,
     y_test,
     key=None,
-    n_time_per_chunk=10000,
+    n_time_per_chunk=None,
     latent_downsample_frac=(0.2, 0.4, 0.6, 0.8),
     downsample_n_repeat=10,
     metric_type_l=(

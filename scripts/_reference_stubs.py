@@ -28,23 +28,30 @@ class _AnyAttrModule(types.ModuleType):
         return sub
 
 
+def reference_available():
+    """True if the reference checkout exists (no side effects)."""
+    return os.path.isdir(os.path.join(REFERENCE_DIR, "poor_man_gplvm"))
+
+
 def install_reference_stubs():
     """Install dependency stubs and put the reference dir on sys.path.
 
+    Stub modules are tagged ``__pmg_reference_stub__`` so
+    :func:`uninstall_reference_stubs` can remove exactly what was added
+    (other tests rely on e.g. plotly being genuinely absent).
+
     Returns True if the reference package directory exists."""
-    if "pynapple" not in sys.modules or not isinstance(
-        sys.modules["pynapple"], types.ModuleType
-    ):
-        pass
     pynapple_stub = types.ModuleType("pynapple")
     pynapple_stub.TsdFrame = _NeverInstance
     pynapple_stub.Tsd = _NeverInstance
     pynapple_stub.Ts = _NeverInstance
     pynapple_stub.IntervalSet = _NeverInstance
+    pynapple_stub.__pmg_reference_stub__ = True
     sys.modules.setdefault("pynapple", pynapple_stub)
 
     jaxopt_stub = types.ModuleType("jaxopt")
     jaxopt_stub.LBFGS = None
+    jaxopt_stub.__pmg_reference_stub__ = True
     sys.modules.setdefault("jaxopt", jaxopt_stub)
 
     for _name in [
@@ -57,8 +64,18 @@ def install_reference_stubs():
         if _name not in sys.modules:
             _m = _AnyAttrModule(_name)
             _m.__path__ = []
+            _m.__pmg_reference_stub__ = True
             sys.modules[_name] = _m
 
     if REFERENCE_DIR not in sys.path:
         sys.path.insert(0, REFERENCE_DIR)
-    return os.path.isdir(os.path.join(REFERENCE_DIR, "poor_man_gplvm"))
+    return reference_available()
+
+
+def uninstall_reference_stubs():
+    """Remove every stub module installed by install_reference_stubs (the
+    already-imported reference modules keep their references)."""
+    for name in list(sys.modules):
+        mod = sys.modules[name]
+        if getattr(mod, "__pmg_reference_stub__", False):
+            del sys.modules[name]

@@ -35,9 +35,12 @@ sys.path.insert(0, _SCRIPTS)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from _reference_stubs import install_reference_stubs  # noqa: E402
+from _reference_stubs import (  # noqa: E402
+    install_reference_stubs,
+    reference_available,
+)
 
-HAVE_REFERENCE = install_reference_stubs()
+HAVE_REFERENCE = reference_available()
 
 import jax  # noqa: E402
 
@@ -114,6 +117,7 @@ def make_data(kind, T, N, seed=0):
 
 
 def build_models(case_name, ref_cls_name, engine, N, L):
+    install_reference_stubs()
     import poor_man_gplvm as ref_pkg
     import poor_man_gplvm_tpu as tpu_pkg
 

@@ -338,3 +338,35 @@ def test_pallas_multilane_and_block_boundaries(T_case):
         np.exp(np.asarray(outs["pallas"][0])),
         np.exp(np.asarray(outs["prob"][0])), atol=2e-4,
     )
+
+
+def test_auto_chunk_size_resolution():
+    """n_time_per_chunk=None -> auto: single chunk at small T, bounded and
+    >= reference-compat 10000 at huge T, identical numerics either way."""
+    from poor_man_gplvm_tpu.ops.hmm import auto_chunk_size
+
+    assert auto_chunk_size(1000, 200, 100) == 1000
+    big = auto_chunk_size(10**8, 1500, 500)
+    assert 10_000 <= big < 10**8
+
+    import jax.numpy as jnp
+    import numpy as np
+    from poor_man_gplvm_tpu.ops import hmm, kernels as gpk
+
+    T, N, L = 101, 5, 7
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.poisson(1.0, (T, N)), dtype=jnp.float32)
+    tuning = jnp.asarray(rng.uniform(0.5, 2.0, (L, N)), dtype=jnp.float32)
+    lat_l, log_lat_l, dyn, log_dyn = gpk.create_transition_prob_1d(
+        jnp.arange(L), jnp.arange(2), 1.0, 0.02, 0.05
+    )
+    trans = hmm.JointTransition(dyn, lat_l, log_dyn, log_lat_l)
+    args = (y, tuning, {}, trans, jnp.ones((T, N)), jnp.ones(L))
+    out_auto = hmm.smooth_combined_chunked(*args, n_time_per_chunk=None)
+    out_17 = hmm.smooth_combined_chunked(*args, n_time_per_chunk=17)
+    np.testing.assert_allclose(
+        np.asarray(out_auto[1]), np.asarray(out_17[1]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_auto[0]), np.asarray(out_17[0]), atol=1e-5
+    )

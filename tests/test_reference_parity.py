@@ -21,18 +21,29 @@ _SCRIPTS = os.path.join(
 if _SCRIPTS not in sys.path:
     sys.path.insert(0, _SCRIPTS)
 
-from _reference_stubs import install_reference_stubs  # noqa: E402
-
-HAVE_REFERENCE = install_reference_stubs()
+from _reference_stubs import (  # noqa: E402
+    install_reference_stubs,
+    reference_available,
+    uninstall_reference_stubs,
+)
 
 pytestmark = [
     pytest.mark.reference,
     pytest.mark.skipif(
-        not HAVE_REFERENCE, reason="reference checkout not available"
+        not reference_available(), reason="reference checkout not available"
     ),
 ]
 
 import parity_vs_reference as pvr  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _reference_stub_scope():
+    """Stub pynapple/jaxopt/plotly/... only for this module's tests — other
+    tests rely on those packages being genuinely absent."""
+    install_reference_stubs()
+    yield
+    uninstall_reference_stubs()
 
 
 @pytest.mark.parametrize("engine", ["prob", "log"])
