@@ -21,7 +21,7 @@ parallelism — each (config, chain) is independent).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -170,6 +170,26 @@ def _single_run_em(
     }
 
 
+@lru_cache(maxsize=32)
+def _batched_em_program(hp_keys, n_iter, n_latent_bin, m_step_size,
+                        m_maxiter, m_tol, likelihood_scale):
+    """Jitted batched-EM program, cached on the static config so repeated
+    sweep calls (and the bench's timed second call) hit the jit trace cache
+    instead of re-tracing the whole EM scan."""
+    run = partial(
+        _single_run_em,
+        n_iter=n_iter, n_latent_bin=n_latent_bin, m_step_size=m_step_size,
+        m_maxiter=m_maxiter, m_tol=m_tol, likelihood_scale=likelihood_scale,
+    )
+
+    def one(y, basis, hp_tuple, key):
+        return run(y, basis, dict(zip(hp_keys, hp_tuple)), key)
+
+    return jax.jit(
+        jax.vmap(one, in_axes=(None, 0, 0, 0))
+    )
+
+
 def sweep_fit_poisson_jump(
     y,
     hyperparam_ranges,
@@ -224,12 +244,6 @@ def sweep_fit_poisson_jump(
         nb = bases[float(ls_arr[i])].shape[1]
         buckets.setdefault(nb, []).append(i)
 
-    run = partial(
-        _single_run_em,
-        n_iter=n_iter, n_latent_bin=n_latent_bin, m_step_size=m_step_size,
-        m_maxiter=m_maxiter, m_tol=m_tol, likelihood_scale=likelihood_scale,
-    )
-
     sharding = None
     if mesh is not None:
         # pure DP: shard the run axis over every device in the mesh
@@ -248,12 +262,15 @@ def sweep_fit_poisson_jump(
             hp_bucket = jax.device_put(hp_bucket, sharding)
             keys_bucket = jax.device_put(keys_bucket, sharding)
             basis_stack = jax.device_put(basis_stack, sharding)
-        batched = jax.jit(
-            jax.vmap(
-                lambda hp, k, b: run(y, b, hp, k), in_axes=(0, 0, 0)
-            )
+        hp_keys = tuple(sorted(hp_bucket.keys()))
+        batched = _batched_em_program(
+            hp_keys, n_iter, n_latent_bin, m_step_size, m_maxiter, m_tol,
+            likelihood_scale,
         )
-        res = batched(hp_bucket, keys_bucket, basis_stack)
+        res = batched(
+            y, basis_stack, tuple(hp_bucket[k] for k in hp_keys),
+            keys_bucket,
+        )
         if len(idxs) == B:  # single bucket: keep batched arrays as-is
             results = dict(res)
             results["config_index"] = config_index
