@@ -82,10 +82,12 @@ def prob_to_log(p, floor=JOINT_ACC_INIT):
 
 
 def _uniform_row_flags(mats):
-    """Static per-matrix flags: True when every row of a (stack of)
-    transition matrices is identical (the jump channel's uniform law) —
-    lets the Pallas kernels replace that channel's matvec with a scalar
-    sum.  Concrete matrices only; tracers get all-False."""
+    """Static per-matrix flags: True when a (stack of) transition matrices
+    is CONSTANT — every entry equal, the jump channel's uniform law — which
+    lets the Pallas kernels replace that channel's matvec with a scalar sum.
+    The constant-entry requirement (not merely identical rows) is what makes
+    the smoother's ``sum(r) * row`` pull shortcut exact.  Concrete matrices
+    only; tracers get all-False."""
     try:
         arr = np.asarray(mats)
     except Exception:
@@ -93,7 +95,7 @@ def _uniform_row_flags(mats):
     if arr.ndim == 2:
         arr = arr[None]
     return tuple(
-        bool(np.all(np.abs(arr[d] - arr[d][0:1, :]) < 1e-12))
+        bool(np.all(np.abs(arr[d] - arr[d][0, 0]) < 1e-12))
         for d in range(arr.shape[0])
     )
 
@@ -651,9 +653,10 @@ def smooth_combined_chunked(
     log_likelihood_all are None.  'auto' picks 'checkpoint' when the full
     footprint would exceed ~4 GB (prob/pallas engines only).
     """
-    if engine not in ("prob", "log", "pallas"):
+    if engine not in ("prob", "log", "pallas", "pallas_parallel"):
         raise ValueError(
-            f"engine must be 'prob', 'log' or 'pallas', got {engine!r}"
+            "engine must be 'prob', 'log', 'pallas' or 'pallas_parallel', "
+            f"got {engine!r}"
         )
     if memory_mode not in ("auto", "full", "checkpoint", "filter",
                            "filter_bf16"):
@@ -674,6 +677,23 @@ def smooth_combined_chunked(
     ma_neuron = jnp.asarray(ma_neuron, dtype=jnp.float32)
     if ma_latent is None:
         ma_latent = jnp.ones(tuning.shape[0], dtype=jnp.float32)
+
+    # long sequences on real TPU hardware: upgrade the sequential pallas
+    # engine to the fixed-point parallel-in-time engine (exact at
+    # convergence — see ops/pallas/parallel_scan.py; ~C x lower scan
+    # latency).  Explicit 'prob'/'log' engines are never upgraded.
+    if (
+        engine == "pallas"
+        and n_time_tot >= 200_000
+        and jax.default_backend() == "tpu"
+    ):
+        engine = "pallas_parallel"
+    if engine == "pallas_parallel":
+        return _smooth_parallel_driver(
+            y, tuning, hyperparam, trans, ma_neuron, ma_latent,
+            likelihood_scale, observation_model, dt_l, memory_mode,
+            marginal_smooth, n_time_per_chunk,
+        )
 
     if memory_mode == "auto":
         state_size = int(np.prod(trans.uniform_log_init().shape))
@@ -840,6 +860,82 @@ def smooth_combined_chunked(
         acc = prob_to_log(acc)
 
     return smooth_all, log_marginal_final, post_all, ratios_all, acc, ll_all
+
+
+def _smooth_parallel_driver(
+    y, tuning, hyperparam, trans, ma_neuron, ma_latent, likelihood_scale,
+    observation_model, dt_l, memory_mode, marginal_smooth, n_time_per_chunk,
+):
+    """engine='pallas_parallel': fixed-point parallel-in-time scans
+    (ops/pallas/parallel_scan.py).  C chunks of the sequence advance
+    simultaneously per sequential step, with the chunk-boundary carries
+    solved by fixed-point iteration over whole passes — exact at
+    convergence, ~C x lower scan latency.  Falls back to the sequential
+    pallas engine when the sequence is too short to chunk."""
+    from poor_man_gplvm_tpu.ops.pallas import parallel_scan as ps
+
+    T = y.shape[0]
+    is_joint = hasattr(trans, "Tdyn")
+    n_dyn = trans.n_dyn if is_joint else 1
+    L = trans.n_latent
+    cfg = ps.choose_parallel_config(T, L, n_dyn)
+    if cfg is None:
+        return smooth_combined_chunked(
+            y, tuning, hyperparam, trans, ma_neuron, ma_latent,
+            likelihood_scale=likelihood_scale,
+            n_time_per_chunk=n_time_per_chunk,
+            observation_model=observation_model, engine="pallas", dt_l=dt_l,
+            memory_mode=memory_mode, marginal_smooth=marginal_smooth,
+        )
+
+    ma_b = (
+        ma_neuron if ma_neuron.ndim == 2
+        else jnp.broadcast_to(ma_neuron, y.shape)
+    )
+    if dt_l is None:
+        ll = get_loglikelihood_ma_all(
+            y, tuning, hyperparam, ma_b, ma_latent,
+            observation_model=observation_model,
+        )
+    else:
+        ll = get_loglikelihood_ma_all_changing_dt(
+            y, tuning, hyperparam, ma_b, ma_latent, dt_l,
+            observation_model=observation_model,
+        )
+
+    tlat = trans.Tlat if is_joint else trans.T[None]
+    tdyn = trans.Tdyn if is_joint else jnp.ones((1, 1), dtype=jnp.float32)
+    p_init = jnp.exp(trans.uniform_log_init())
+    if not is_joint:
+        p_init = p_init[None]
+
+    state_size = n_dyn * L
+    est_bytes = T * (3 * state_size + L) * 4
+    want_post = memory_mode == "full" or (
+        memory_mode == "auto" and est_bytes <= 4e9
+    )
+
+    smooth, log_marginal, post, ratios, acc, ll, _diag = ps.smooth_parallel(
+        ll, tlat, tdyn, p_init, likelihood_scale,
+        uniform_rows=trans.uniform_rows, marginal=marginal_smooth,
+        want_post=want_post, config=cfg,
+    )  # NOTE: the ll buffer is donated into the call; the returned ll is
+    #   the pass-through (None unless want_post)
+
+    if marginal_smooth:
+        lat_m, dyn_m = smooth
+        smooth_all = (
+            prob_to_log(lat_m),
+            prob_to_log(dyn_m) if is_joint else None,
+        )
+    else:
+        smooth_all = prob_to_log(smooth if is_joint else smooth[:, 0])
+    post_all = (
+        prob_to_log(post if is_joint else post[:, 0]) if want_post else None
+    )
+    acc_log = prob_to_log(acc if is_joint else acc[0, 0])
+    ll_all = ll if want_post else None
+    return smooth_all, log_marginal, post_all, ratios, acc_log, ll_all
 
 
 def _smooth_chunked_checkpoint(

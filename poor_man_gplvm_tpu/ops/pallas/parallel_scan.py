@@ -1,0 +1,650 @@
+"""Parallel-in-time (chunked fixed-point) forward-backward scans.
+
+The sequential Pallas scan kernels (``scan_kernels.py``) are latency-bound at
+~1.5 us per timestep on the dependent (1, L) @ (L, L) matvec — at the
+north-star scale (T=1e6, L=500) that is ~1.6 s per direction per EM
+iteration, with the MXU <1% utilized.  These kernels break the latency wall
+by advancing C chunks of the sequence SIMULTANEOUSLY: each sequential step
+performs one batched (C, L) @ (L, L) matmul per dynamics channel, which
+costs nearly the same wall-clock as the single-row matvec (measured ~1.2
+us/step at C=64, L=512 on a TPU v5e) — C times the work for the price of
+one.
+
+Chunk c's recursion needs the carry (filter posterior / smoothed posterior)
+at its boundary, which chunk c-1 produces.  We solve for the boundary
+carries by FIXED-POINT ITERATION over whole passes:
+
+  pass k:   run all chunks from carry_ins_k  ->  finals_k
+  update:   carry_ins_{k+1} = shift(finals_k)   (chunk 0's input is exact)
+  stop:     max |carry_ins_{k+1} - carry_ins_k| <= tol
+
+The fixed point of this iteration IS the exact sequential recursion (at
+convergence every chunk starts from its true boundary carry), so unlike a
+warmup-window approximation the result carries a convergence certificate.
+Convergence is geometric in the filter's forgetting rate: the jump channel's
+uniform transition row gives the joint chain a Doeblin minorization
+(T(s, .) >= p_move_to_jump * uniform), so a boundary perturbation decays at
+least like (1 - p_mj)^t inside a chunk; with chunks of ~15k steps the
+iteration settles in 2 passes for any practical hyperparameters.  The pass
+count is capped at C, at which point the result is exact by induction
+(pass k makes chunk k's input exact) — the pathological worst case costs
+the same total steps as one sequential sweep.
+
+Memory discipline (the north-star working set barely fits one chip): the
+fixed-point loops run FINALS-ONLY kernels that emit just the (n_dyn, C, Lp)
+boundary carries, then a single emitting pass runs with the converged
+boundaries.  The backward kernel accumulates the pairwise-joint statistic
+``acc[d,e,i,j] = sum_t filt[t,d,i] * r[t,e,j]`` on-chip in a VMEM scratch
+(4 MB at L=512) via per-block (Lp, bt*C) @ (bt*C, Lp) matmuls, so the (T,
+n_dyn, C, Lp) smoother-ratio array is never materialized in HBM, and the
+per-step log-marginal normalizers are reconstructed outside the kernel from
+the stored posteriors with one batched transition push (s_t =
+<push(post_{t-1}), w_t>).
+
+Numerics are identical per step to the ``prob``/``pallas`` engines (scaled
+probability-space recursions, f32, Precision.HIGHEST dots), so parity with
+the reference (<=1e-5 relative log-marginal, BASELINE.json) is preserved.
+
+Layouts: time-within-chunk-major.  ``w_c``/``post_c``/``smooth_c`` are
+(Tcp, [n_dyn,] C, Lp) with Lp = L rounded up to the 128-lane width and
+Tcp = ceil(T/C) rounded up to the block sizes; per-step loads/stores are
+then contiguous (C, Lp) tiles.  Chunk c owns global rows [c*tc_eff,
+(c+1)*tc_eff) clipped to T; rows outside the valid range are hard no-ops
+for the carry.
+
+Reference parity targets: poor_man_gplvm/decoder.py:151-332 (the sequential
+recursions these kernels reproduce), decoder.py:258-332 (chunked driver
+contract).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from poor_man_gplvm_tpu.ops.emissions import PRECISION
+from poor_man_gplvm_tpu.ops.pallas.scan_kernels import (
+    LANE,
+    _interpret,
+    _round_up,
+)
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# configuration
+# ---------------------------------------------------------------------------
+
+
+def choose_parallel_config(T, L, n_dyn):
+    """Pick (C, block_t_fwd, block_t_bwd) for the fixed-point scans.
+
+    C is bounded by VMEM (~16 MB): per grid step the forward kernel streams
+    a (bt, C, Lp) weight block in and a (bt, n_dyn, C, Lp) posterior block
+    out (double-buffered), while the backward kernel additionally holds the
+    prior and smoother-ratio scratches, the on-chip joint accumulator and
+    both transition matrices — so its block is smaller.  Returns None when
+    the problem is too small to benefit (fall back to the sequential pallas
+    engine)."""
+    Lp = _round_up(L, LANE)
+    nd = max(1, n_dyn)
+
+    def bwd_vmem(C, bt):
+        blocks = bt * nd * C * Lp * 4
+        fixed = 2 * nd * Lp * Lp * 4 + 3 * nd * C * Lp * 4
+        # marginal emit: post in (x2), latmarg out (x2), prior + r
+        # scratches, on-chip acc accumulator
+        marg = 2 * blocks + (2 * blocks) // nd + 2 * blocks \
+            + (nd * Lp) ** 2 * 4 + fixed
+        # full emit: post in (x2), smooth out (x2), r out (x2), prior
+        # scratch — acc is computed outside the kernel in this mode
+        full = 2 * blocks + 2 * blocks + 2 * blocks + blocks + fixed
+        return max(marg, full)
+
+    C = 128 if Lp <= 256 else 64
+    bt_f = 16 if Lp <= 256 else 8
+    bt_b = bt_f
+    budget = 14 << 20
+    while bwd_vmem(C, bt_b) > budget and bt_b > 4:
+        bt_b //= 2
+    while bwd_vmem(C, bt_b) > budget and C > 8:
+        C //= 2
+    # each chunk should amortize its boundary solve over >= ~8 blocks
+    while C > 2 and T < C * bt_f * 8:
+        C //= 2
+    if C < 2 or T < 4 * bt_f:
+        return None
+    return C, bt_f, bt_b
+
+
+# ---------------------------------------------------------------------------
+# forward (causal filter) pass kernel
+# ---------------------------------------------------------------------------
+
+
+def _pfilter_kernel(w_ref, tlat_ref, tdyn_ref, ins_ref, *refs,
+                    n_dyn, C, block_t, tc_eff, n_valid, masked_tail,
+                    uniform_rows, finals_only):
+    if finals_only:
+        final_ref, carry_ref = refs
+        post_ref = None
+    else:
+        post_ref, final_ref, carry_ref = refs
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        carry_ref[:] = ins_ref[:]
+
+    chunk_off = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) * tc_eff
+
+    def body(t, _):
+        tau = g * block_t + t  # time-within-chunk
+        w = w_ref[pl.ds(t, 1)][0]  # (C, Lp)
+        priors = []
+        for d in range(n_dyn):
+            q_d = tdyn_ref[0, d] * carry_ref[0]
+            for p_ in range(1, n_dyn):
+                q_d = q_d + tdyn_ref[p_, d] * carry_ref[p_]
+            if uniform_rows[d]:
+                # constant transition matrix: matvec collapses to a row sum
+                priors.append(
+                    jnp.sum(q_d, axis=1, keepdims=True)
+                    * tlat_ref[d, 0:1, :]
+                )
+            else:
+                priors.append(
+                    jnp.dot(q_d, tlat_ref[d],
+                            preferred_element_type=jnp.float32,
+                            precision=HIGHEST)
+                )
+        s = None
+        us = []
+        for d in range(n_dyn):
+            u_d = priors[d] * w
+            us.append(u_d)
+            sd = jnp.sum(u_d, axis=1, keepdims=True)
+            s = sd if s is None else s + sd
+        inv = 1.0 / jnp.maximum(s, 1e-38)
+        valid = (chunk_off + tau) < n_valid  # (C, 1)
+        if masked_tail:  # Tcp > tc_eff: padding rows are hard no-ops
+            valid = jnp.logical_and(valid, tau < tc_eff)
+        for d in range(n_dyn):
+            new_d = jnp.where(valid, us[d] * inv, carry_ref[d])
+            carry_ref[d] = new_d
+            if not finals_only:
+                post_ref[pl.ds(t, 1), d] = new_d[None]
+        return 0
+
+    jax.lax.fori_loop(0, block_t, body, 0)
+    final_ref[:] = carry_ref[:]
+
+
+def _pfilter_pass(w_c, tlat_p, tdyn, ins, *, C, block_t, tc_eff, n_valid,
+                  uniform_rows, finals_only):
+    Tcp, _, Lp = w_c.shape
+    n_dyn = tlat_p.shape[0]
+    grid = (Tcp // block_t,)
+    kern = functools.partial(
+        _pfilter_kernel, n_dyn=n_dyn, C=C, block_t=block_t, tc_eff=tc_eff,
+        n_valid=n_valid, masked_tail=Tcp != tc_eff,
+        uniform_rows=uniform_rows, finals_only=finals_only,
+    )
+    const3 = lambda g: (0, 0, 0)
+    out_specs = [
+        pl.BlockSpec((n_dyn, C, Lp), const3, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((n_dyn, C, Lp), jnp.float32)]
+    if not finals_only:
+        out_specs.insert(0, pl.BlockSpec(
+            (block_t, n_dyn, C, Lp), lambda g: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.insert(0, jax.ShapeDtypeStruct(
+            (Tcp, n_dyn, C, Lp), jnp.float32))
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, C, Lp), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_dyn, Lp, Lp), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_dyn, n_dyn), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_dyn, C, Lp), const3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((n_dyn, C, Lp), jnp.float32)],
+        interpret=_interpret(),
+    )(w_c, tlat_p, tdyn, ins)
+    if finals_only:
+        return None, out[0]
+    return out[0], out[1]
+
+
+# ---------------------------------------------------------------------------
+# backward (acausal smoother) pass kernel
+# ---------------------------------------------------------------------------
+
+
+def _psmooth_kernel(post_ref, tlat_ref, tlatT_ref, tdyn_ref, ins_ref, *refs,
+                    n_dyn, C, block_t, tc_eff, n_valid, n_blocks,
+                    masked_tail, uniform_rows, marginal, finals_only):
+    if finals_only:
+        final_ref, carry_ref, prior_ref = refs
+        out_ref = dynm_ref = acc_ref = r_ref = acc_scr = None
+    elif marginal:
+        # memory-constrained mode: smoother ratios stay in a VMEM scratch
+        # and fold into the on-chip joint accumulator per block
+        (out_ref, dynm_ref, acc_ref, final_ref,
+         carry_ref, prior_ref, r_ref, acc_scr) = refs
+    else:
+        # full mode (moderate T): ratios go to HBM; acc computed outside
+        (out_ref, r_ref, final_ref, carry_ref, prior_ref) = refs
+        dynm_ref = acc_ref = acc_scr = None
+    g = pl.program_id(0)  # grid reversed via index maps: block n_blocks-1-g
+
+    @pl.when(g == 0)
+    def _():
+        carry_ref[:] = ins_ref[:]
+        if acc_scr is not None:
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # block prologue: priors for every row in the block, one batched matmul
+    # per dynamics channel (prior_{t+1} = push(post_t), same-row indexing —
+    # mirrors hmm._backward_filterstore_chunk's trans.push_batch)
+    for d in range(n_dyn):
+        q_d = tdyn_ref[0, d] * post_ref[:, 0]
+        for p_ in range(1, n_dyn):
+            q_d = q_d + tdyn_ref[p_, d] * post_ref[:, p_]
+        if uniform_rows[d]:
+            prior_ref[:, d] = (
+                jnp.sum(q_d, axis=2, keepdims=True) * tlat_ref[d, 0:1, :]
+            )
+        else:
+            prior_ref[:, d] = jnp.dot(
+                q_d.reshape(block_t * C, q_d.shape[-1]), tlat_ref[d],
+                preferred_element_type=jnp.float32, precision=HIGHEST,
+            ).reshape(q_d.shape)
+
+    chunk_off = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) * tc_eff
+
+    def body(i, _):
+        t = block_t - 1 - i
+        tau = (n_blocks - 1 - g) * block_t + t
+        p_filt = post_ref[pl.ds(t, 1)][0]    # (n_dyn, C, Lp)
+        p_prior = prior_ref[pl.ds(t, 1)][0]  # prior_{t+1}
+        gidx = chunk_off + tau
+        # recursion domain is t in [0, T-2]; row T-1 stores the carry
+        # (= post[T-1] via the fixed boundary input), padding rows store
+        # the carry passthrough and are sliced off outside
+        valid = gidx < (n_valid - 1)
+        if masked_tail:  # Tcp > tc_eff: padding rows are hard no-ops
+            valid = jnp.logical_and(valid, tau < tc_eff)
+        rs = []
+        for e in range(n_dyn):
+            pr = p_prior[e]
+            safe = jnp.where(pr > 0, pr, 1.0)
+            r_e = jnp.where(pr > 0, carry_ref[e] / safe, 0.0)
+            # invalid rows contribute nothing to the joint accumulation
+            rs.append(jnp.where(valid, r_e, 0.0))
+        # pull: s_e = Tlat[e] @ r_e (row-vector matmul vs the transpose)
+        ss = []
+        for e in range(n_dyn):
+            if uniform_rows[e]:
+                ss.append(
+                    jnp.sum(rs[e], axis=1, keepdims=True)
+                    * tlatT_ref[e, 0:1, :]
+                )
+            else:
+                ss.append(
+                    jnp.dot(rs[e], tlatT_ref[e],
+                            preferred_element_type=jnp.float32,
+                            precision=HIGHEST)
+                )
+        norm = None
+        smooth_rows = []
+        for d in range(n_dyn):
+            pull_d = tdyn_ref[d, 0] * ss[0]
+            for e in range(1, n_dyn):
+                pull_d = pull_d + tdyn_ref[d, e] * ss[e]
+            sm_d = p_filt[d] * pull_d
+            smooth_rows.append(sm_d)
+            nd_ = jnp.sum(sm_d, axis=1, keepdims=True)
+            norm = nd_ if norm is None else norm + nd_
+        inv = 1.0 / jnp.maximum(norm, 1e-38)
+
+        for d in range(n_dyn):
+            new_d = jnp.where(valid, smooth_rows[d] * inv, carry_ref[d])
+            carry_ref[d] = new_d
+            if not finals_only:
+                r_ref[pl.ds(t, 1), d] = rs[d][None]
+                if marginal:
+                    dynm_ref[pl.ds(t, 1), d] = jnp.sum(new_d, axis=1)[None]
+                else:
+                    out_ref[pl.ds(t, 1), d] = new_d[None]
+        if marginal and not finals_only:
+            lat = carry_ref[0]
+            for d in range(1, n_dyn):
+                lat = lat + carry_ref[d]
+            out_ref[pl.ds(t, 1)] = lat[None]
+        return 0
+
+    jax.lax.fori_loop(0, block_t, body, 0)
+    final_ref[:] = carry_ref[:]
+
+    if acc_scr is not None:
+        # block epilogue (marginal mode): fold this block into the on-chip
+        # pairwise-joint accumulator: acc[d, e] += post[:, d]^T @ r[:, e]
+        # over the block's (bt * C) rows — the (T, n_dyn, C, Lp)
+        # smoother-ratio array never exists in HBM
+        Lp = post_ref.shape[-1]
+        for d in range(n_dyn):
+            fm = post_ref[:, d].reshape(block_t * C, Lp)
+            for e in range(n_dyn):
+                rm = r_ref[:, e].reshape(block_t * C, Lp)
+                prod = jax.lax.dot_general(
+                    fm, rm, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=HIGHEST,
+                )
+                acc_scr[d, e] += prod
+        acc_ref[:] = acc_scr[:]
+
+
+def _psmooth_pass(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t, tc_eff,
+                  n_valid, uniform_rows, marginal, finals_only):
+    Tcp, n_dyn, _, Lp = post_c.shape
+    n_blocks = Tcp // block_t
+    rev4 = lambda g: (n_blocks - 1 - g, 0, 0, 0)
+    rev3 = lambda g: (n_blocks - 1 - g, 0, 0)
+    const3 = lambda g: (0, 0, 0)
+    const4 = lambda g: (0, 0, 0, 0)
+    kern = functools.partial(
+        _psmooth_kernel, n_dyn=n_dyn, C=C, block_t=block_t, tc_eff=tc_eff,
+        n_valid=n_valid, n_blocks=n_blocks, masked_tail=Tcp != tc_eff,
+        uniform_rows=uniform_rows, marginal=marginal,
+        finals_only=finals_only,
+    )
+    final_spec = pl.BlockSpec((n_dyn, C, Lp), const3,
+                              memory_space=pltpu.VMEM)
+    final_shape = jax.ShapeDtypeStruct((n_dyn, C, Lp), jnp.float32)
+    big_spec = pl.BlockSpec((block_t, n_dyn, C, Lp), rev4,
+                            memory_space=pltpu.VMEM)
+    big_shape = jax.ShapeDtypeStruct((Tcp, n_dyn, C, Lp), jnp.float32)
+    scratch = [pltpu.VMEM((n_dyn, C, Lp), jnp.float32),
+               pltpu.VMEM((block_t, n_dyn, C, Lp), jnp.float32)]
+    if finals_only:
+        out_specs, out_shape = [final_spec], [final_shape]
+    elif marginal:
+        acc_spec = pl.BlockSpec((n_dyn, n_dyn, Lp, Lp), const4,
+                                memory_space=pltpu.VMEM)
+        acc_shape = jax.ShapeDtypeStruct((n_dyn, n_dyn, Lp, Lp), jnp.float32)
+        out_specs = [
+            pl.BlockSpec((block_t, C, Lp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, n_dyn, C), rev3,
+                         memory_space=pltpu.VMEM),
+            acc_spec, final_spec,
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((Tcp, C, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Tcp, n_dyn, C), jnp.float32),
+            acc_shape, final_shape,
+        ]
+        scratch = scratch + [
+            pltpu.VMEM((block_t, n_dyn, C, Lp), jnp.float32),
+            pltpu.VMEM((n_dyn, n_dyn, Lp, Lp), jnp.float32),
+        ]
+    else:
+        # full mode: smoother + r both stream to HBM, acc computed outside
+        out_specs = [big_spec, big_spec, final_spec]
+        out_shape = [big_shape, big_shape, final_shape]
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_t, n_dyn, C, Lp), rev4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_dyn, Lp, Lp), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_dyn, Lp, Lp), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_dyn, n_dyn), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_dyn, C, Lp), const3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(post_c, tlat_p, tlatT_p, tdyn, ins)
+
+
+# ---------------------------------------------------------------------------
+# fixed-point drivers
+# ---------------------------------------------------------------------------
+
+
+def _chunk_to_flat(x_c, tc_eff, T):
+    """(Tcp, ..., C, Lp) chunk layout -> (T, ..., Lp) global time order."""
+    # (Tcp, ..., C, Lp) -> (C, Tcp, ..., Lp)
+    perm = (x_c.ndim - 2, 0) + tuple(range(1, x_c.ndim - 2)) + (x_c.ndim - 1,)
+    x = jnp.transpose(x_c, perm)[:, :tc_eff]
+    return x.reshape((-1,) + x.shape[2:])[:T]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=["C", "block_t", "block_t_bwd", "tc_eff", "T",
+                     "uniform_rows", "marginal", "want_post", "max_passes",
+                     "tol"],
+    donate_argnums=(0,),  # ll (2 GB at north-star) — returned when want_post
+)
+def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale, *,
+                         C, block_t, block_t_bwd, tc_eff, T, uniform_rows,
+                         marginal, want_post, max_passes, tol):
+    n_dyn, L = tlat.shape[0], tlat.shape[-1]
+    Lp = _round_up(L, LANE)
+    Tcp = _round_up(tc_eff, max(block_t, block_t_bwd))
+
+    # ---- likelihood weights in chunk layout ----
+    m = jnp.max(ll, axis=1)  # (T,)
+    w = jnp.exp(likelihood_scale * (ll - m[:, None]))
+    w_flat = jnp.zeros((C * tc_eff, Lp), dtype=jnp.float32)
+    w_flat = w_flat.at[:T, :L].set(w)
+    w_c = jnp.zeros((Tcp, C, Lp), dtype=jnp.float32)
+    w_c = w_c.at[:tc_eff].set(
+        jnp.transpose(w_flat.reshape(C, tc_eff, Lp), (1, 0, 2))
+    )
+
+    tlat_p = jnp.zeros((n_dyn, Lp, Lp), dtype=jnp.float32)
+    tlat_p = tlat_p.at[:, :L, :L].set(tlat)
+    tlatT_p = jnp.zeros((n_dyn, Lp, Lp), dtype=jnp.float32)
+    tlatT_p = tlatT_p.at[:, :L, :L].set(jnp.swapaxes(tlat, -1, -2))
+    tdyn = tdyn.astype(jnp.float32)
+
+    # ---- forward fixed point (finals-only loop + one emitting pass) ----
+    init_p = jnp.zeros((n_dyn, Lp), dtype=jnp.float32).at[:, :L].set(p_init)
+    uniform_p = jnp.zeros((n_dyn, Lp), dtype=jnp.float32).at[:, :L].set(
+        1.0 / (n_dyn * L)
+    )
+    ins0 = jnp.broadcast_to(
+        uniform_p[:, None, :], (n_dyn, C, Lp)
+    ).at[:, 0].set(init_p)
+
+    fwd = functools.partial(
+        _pfilter_pass, C=C, block_t=block_t, tc_eff=tc_eff, n_valid=T,
+        uniform_rows=uniform_rows,
+    )
+
+    def fwd_body(state):
+        ins, _delta, k = state
+        _, fin = fwd(w_c, tlat_p, tdyn, ins, finals_only=True)
+        new_ins = jnp.concatenate([ins[:, :1], fin[:, :-1]], axis=1)
+        delta = jnp.max(jnp.abs(new_ins - ins))
+        return new_ins, delta, k + 1
+
+    def fwd_cond(state):
+        _, delta, k = state
+        return jnp.logical_and(delta > tol, k < max_passes)
+
+    fstate = fwd_body(
+        (ins0, jnp.array(jnp.inf, jnp.float32), jnp.array(0, jnp.int32))
+    )
+    ins_used, fwd_delta, fwd_passes = lax.while_loop(
+        fwd_cond, fwd_body, fstate
+    )
+    post_c, _fin = fwd(w_c, tlat_p, tdyn, ins_used, finals_only=False)
+
+    # ---- per-step normalizers, reconstructed OUTSIDE the kernel ----
+    # s_t = <push(post_{t-1}), w_t>, each chunk's first row seeded by the
+    # converged boundary carry.  Computed as a scan over row-blocks so the
+    # shifted-posterior / prior intermediates stay O(block) instead of two
+    # (Tcp, n_dyn, C, Lp) arrays (2x 4 GB at north-star scale).
+    sv_bt = max(block_t, block_t_bwd)
+    nb_sv = Tcp // sv_bt
+    post_r = post_c.reshape(nb_sv, sv_bt, n_dyn, C, Lp)
+    w_r = w_c.reshape(nb_sv, sv_bt, C, Lp)
+
+    def sval_block(carry_row, xs):
+        blk, w_blk = xs
+        prev = jnp.concatenate([carry_row[None], blk[:-1]], axis=0)
+        q = jnp.einsum("tpcl,pd->tdcl", prev, tdyn, precision=PRECISION)
+        prior = jnp.einsum(
+            "tdci,dij->tdcj", q, tlat_p, precision=PRECISION
+        )
+        s = jnp.einsum("tdcl,tcl->tc", prior, w_blk, precision=PRECISION)
+        return blk[-1], s
+
+    _, svals_r = lax.scan(sval_block, ins_used, (post_r, w_r))
+    svals = svals_r.reshape(Tcp, C)
+    tau_ids = jnp.arange(Tcp, dtype=jnp.int32)[:, None]
+    cids = jnp.arange(C, dtype=jnp.int32)[None, :]
+    valid_tc = jnp.logical_and(
+        tau_ids < tc_eff, cids * tc_eff + tau_ids < T
+    )
+    svals = jnp.where(valid_tc, jnp.maximum(svals, 1e-38), 1.0)
+    ratios = (
+        jnp.log(jnp.transpose(svals)[:, :tc_eff].reshape(-1)[:T])
+        + likelihood_scale * m
+    )
+    log_marginal = jnp.sum(ratios)
+
+    # peak-memory control (not semantics): force the normalizer
+    # reconstruction — the last consumer of the 2 GB w_c — to complete
+    # before the backward phase starts, so w_c's buffer is dead while the
+    # smoother outputs are live
+    post_c, ratios, log_marginal = lax.optimization_barrier(
+        (post_c, ratios, log_marginal)
+    )
+
+    # ---- backward fixed point (finals-only loop + one emitting pass) ----
+    c_star = (T - 1) // tc_eff
+    r_star = (T - 1) % tc_eff
+    post_T1 = post_c[r_star, :, c_star, :]  # (n_dyn, Lp), exact
+    guess = jnp.concatenate(
+        [post_c[0][:, 1:, :], post_T1[:, None, :]], axis=1
+    )
+    guess = guess.at[:, c_star:, :].set(post_T1[:, None, :])
+
+    bwd = functools.partial(
+        _psmooth_pass, C=C, tc_eff=tc_eff, n_valid=T,
+        uniform_rows=uniform_rows, marginal=marginal,
+    )
+
+    def bwd_shift(fin):
+        new_ins = jnp.concatenate(
+            [fin[:, 1:, :], post_T1[:, None, :]], axis=1
+        )
+        return new_ins.at[:, c_star:, :].set(post_T1[:, None, :])
+
+    def bwd_body(state):
+        ins, _delta, k = state
+        (fin,) = bwd(post_c, tlat_p, tlatT_p, tdyn, ins,
+                     block_t=block_t, finals_only=True)
+        new_ins = bwd_shift(fin)
+        delta = jnp.max(jnp.abs(new_ins - ins))
+        return new_ins, delta, k + 1
+
+    def bwd_cond(state):
+        _, delta, k = state
+        return jnp.logical_and(delta > tol, k < max_passes)
+
+    bstate = bwd_body(
+        (guess, jnp.array(jnp.inf, jnp.float32), jnp.array(0, jnp.int32))
+    )
+    ins_bwd, bwd_delta, bwd_passes = lax.while_loop(
+        bwd_cond, bwd_body, bstate
+    )
+    emit = bwd(post_c, tlat_p, tlatT_p, tdyn, ins_bwd,
+               block_t=block_t_bwd, finals_only=False)
+    if marginal:
+        out_c, dynm_c, acc_raw, _ = emit
+    else:
+        out_c, r_c, _ = emit
+        dynm_c = None
+        # moderate-T mode: the pairwise-joint contraction over (t, c) runs
+        # outside the kernel (invalid rows carry r == 0)
+        acc_raw = jnp.einsum(
+            "tdci,tecj->deij", post_c, r_c, precision=PRECISION
+        )
+
+    acc = acc_raw[:, :, :L, :L] * tdyn[:, :, None, None] \
+        * tlat[None, :, :, :]
+
+    # ---- reassemble global-time outputs ----
+    if marginal:
+        smooth_lat = _chunk_to_flat(out_c, tc_eff, T)[:, :L]  # (T, L)
+        dynm = _chunk_to_flat(dynm_c[..., None], tc_eff, T)[:, :, 0]
+        smooth_out = (smooth_lat, dynm)
+    else:
+        smooth_out = _chunk_to_flat(out_c, tc_eff, T)[:, :, :L]
+    post_out = (
+        _chunk_to_flat(post_c, tc_eff, T)[:, :, :L] if want_post else None
+    )
+    ll_out = ll if want_post else None  # pass the donated buffer back out
+    diag = (fwd_passes, bwd_passes, fwd_delta, bwd_delta)
+    return smooth_out, log_marginal, post_out, ratios, acc, ll_out, diag
+
+
+def smooth_parallel(ll, tlat, tdyn, p_init, likelihood_scale, *,
+                    uniform_rows, marginal=False, want_post=False,
+                    config=None, max_passes=None, tol=1e-6):
+    """Fixed-point parallel-in-time forward-backward smoother.
+
+    ll: (T, L) log-likelihood; tlat: (n_dyn, L, L); tdyn: (n_dyn, n_dyn);
+    p_init: (n_dyn, L) probability-space initial carry.
+
+    Returns (smooth, log_marginal, post, ratios, acc, ll, diag) in
+    PROBABILITY space, where smooth is (T, n_dyn, L) or the (latent_marg
+    (T, L), dyn_marg (T, n_dyn)) pair when ``marginal``, acc is the
+    accumulated pairwise joint (n_dyn, n_dyn, L, L), ll echoes the (donated)
+    input log-likelihood when ``want_post`` (None otherwise), and diag
+    carries the pass counts and final deltas of the two fixed-point
+    iterations.  NOTE: the caller's ``ll`` buffer is DONATED."""
+    T, L = ll.shape
+    n_dyn = tlat.shape[0]
+    if config is None:
+        config = choose_parallel_config(T, L, n_dyn)
+    if config is None:
+        raise ValueError(
+            f"problem too small for the parallel engine (T={T})"
+        )
+    C, bt_f, bt_b = config
+    tc_eff = -(-T // C)
+    if max_passes is None:
+        max_passes = C
+    return _smooth_parallel_jit(
+        jnp.asarray(ll, dtype=jnp.float32),
+        jnp.asarray(tlat, dtype=jnp.float32),
+        jnp.asarray(tdyn, dtype=jnp.float32),
+        jnp.asarray(p_init, dtype=jnp.float32),
+        likelihood_scale,
+        C=C, block_t=bt_f, block_t_bwd=bt_b, tc_eff=tc_eff, T=T,
+        uniform_rows=tuple(uniform_rows), marginal=marginal,
+        want_post=want_post, max_passes=int(max_passes), tol=float(tol),
+    )

@@ -43,16 +43,22 @@ LANE = 128
 
 
 def _detect_uniform_rows(tlat):
-    """Static per-dynamics flags: True when every row of Tlat[d] is the
-    same (e.g. the jump channel's uniform transition).  Evaluated host-side
-    on concrete matrices; traced inputs fall back to the general path."""
+    """Static per-dynamics flags: True when Tlat[d] is CONSTANT (every entry
+    equal, e.g. the jump channel's uniform transition).  Evaluated host-side
+    on concrete matrices; traced inputs fall back to the general path.
+
+    Note the constant-entry requirement: the smoother fast path computes
+    ``sum(r) * TlatT[0, :]``, which equals the true pull ``Tlat @ r`` only
+    when the (identical) rows are themselves constant — identical but
+    non-constant rows (possible with custom kernels) must take the general
+    matvec."""
     try:
         arr = np.asarray(tlat)
     except Exception:
         return tuple(False for _ in range(tlat.shape[0]))
     flags = []
     for d in range(arr.shape[0]):
-        flags.append(bool(np.all(np.abs(arr[d] - arr[d][0:1, :]) < 1e-12)))
+        flags.append(bool(np.all(np.abs(arr[d] - arr[d][0, 0]) < 1e-12)))
     return tuple(flags)
 
 

@@ -173,6 +173,36 @@ def test_latent_mask_engine_parity(bigT):
     )
 
 
+def test_uniform_row_flag_requires_constant_rows():
+    """Regression: a transition channel with identical but NON-constant rows
+    (possible with custom kernels) must NOT take the uniform-row fast path —
+    the smoother shortcut ``sum(r) * row`` is only exact for constant rows.
+    Previously the flag checked row-identity only and the pallas smoother
+    deviated by ~0.02 absolute probability."""
+    rng = np.random.default_rng(11)
+    row = rng.random(L).astype(np.float32)
+    row /= row.sum()
+    lat = np.stack([np.tile(row, (L, 1)), np.full((L, L), 1.0 / L)]).astype(
+        np.float32
+    )
+    assert hmm._uniform_row_flags(lat) == (False, True)
+    dyn = np.array([[0.9, 0.1], [0.2, 0.8]], dtype=np.float32)
+    trans = hmm.JointTransition(
+        jnp.asarray(dyn), jnp.asarray(lat),
+        jnp.log(jnp.asarray(dyn)), jnp.log(jnp.asarray(lat)),
+    )
+    y = rng.poisson(1.5, size=(T, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    ones_n, ones_l = np.ones(N, np.float32), np.ones(L, np.float32)
+    ref = _run(y, tuning, ones_n, ones_l, trans, "prob")
+    pal = _run(y, tuning, ones_n, ones_l, trans, "pallas")
+    np.testing.assert_allclose(float(pal[1]), float(ref[1]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(pal[0])), np.exp(np.asarray(ref[0])),
+        rtol=1e-3, atol=1e-5,
+    )
+
+
 def test_likelihood_scale(joint_setup):
     y, tuning, ma_neuron, ma_latent, trans, ll = joint_setup
     M = joint_to_dense(trans.Tdyn, trans.Tlat)

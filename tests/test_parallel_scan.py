@@ -1,0 +1,203 @@
+"""engine='pallas_parallel' (fixed-point parallel-in-time scans) vs the
+sequential prob engine.  The parallel engine must be EXACT at convergence —
+tolerances here are float32 noise, not approximation budgets.
+
+Reference contract: poor_man_gplvm/decoder.py:258-332 (6-tuple), via the
+prob engine which is oracle-verified in test_hmm.py."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from poor_man_gplvm_tpu.ops import hmm, kernels as gpk
+from poor_man_gplvm_tpu.ops.pallas import parallel_scan as ps
+
+N, L = 6, 7
+
+
+def _joint_trans(mv=1.3, pmj=0.05, pjm=0.08):
+    lat_l, log_lat_l, dyn, log_dyn = gpk.create_transition_prob_1d(
+        jnp.arange(L), jnp.arange(2), movement_variance=mv,
+        p_move_to_jump=pmj, p_jump_to_move=pjm,
+    )
+    return hmm.JointTransition(dyn, lat_l, log_dyn, log_lat_l)
+
+
+def _run(y, tuning, trans, engine, ma_n=None, ma_l=None, **kw):
+    ma_n = np.ones(y.shape[1], np.float32) if ma_n is None else ma_n
+    ma_l = np.ones(tuning.shape[0], np.float32) if ma_l is None else ma_l
+    return hmm.smooth_combined_chunked(
+        y, tuning, {}, trans, ma_n, ma_l, engine=engine, **kw
+    )
+
+
+def _assert_match(ref, par, check_post=True):
+    np.testing.assert_allclose(float(par[1]), float(ref[1]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(par[0])), np.exp(np.asarray(ref[0])),
+        rtol=1e-3, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(par[3]), np.asarray(ref[3]), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.exp(np.asarray(par[4])), np.exp(np.asarray(ref[4])),
+        rtol=1e-3, atol=1e-3,
+    )
+    if check_post:
+        np.testing.assert_allclose(
+            np.exp(np.asarray(par[2])), np.exp(np.asarray(ref[2])),
+            rtol=1e-3, atol=2e-5,
+        )
+
+
+@pytest.mark.parametrize("T", [601, 997])
+def test_parallel_joint_matches_prob(T):
+    rng = np.random.default_rng(42)
+    y = rng.poisson(1.5, size=(T, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    trans = _joint_trans()
+    ref = _run(y, tuning, trans, "prob")
+    par = _run(y, tuning, trans, "pallas_parallel")
+    _assert_match(ref, par)
+
+
+def test_parallel_latent_only():
+    rng = np.random.default_rng(7)
+    T = 640
+    y = rng.poisson(1.5, size=(T, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    kern, log_kern = gpk.create_transition_prob_latent_1d(
+        jnp.arange(L), movement_variance=1.1
+    )
+    trans = hmm.LatentTransition(kern, log_kern)
+    ref = _run(y, tuning, trans, "prob")
+    par = _run(y, tuning, trans, "pallas_parallel")
+    _assert_match(ref, par)
+
+
+def test_parallel_masked_latent_and_2d_neuron_mask():
+    rng = np.random.default_rng(3)
+    T = 523
+    y = rng.poisson(1.5, size=(T, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    ma_l = np.ones(L, np.float32)
+    ma_l[1] = 0.0
+    ma_l[4] = 0.0
+    ma_n = (rng.random((T, N)) > 0.2).astype(np.float32)
+    trans = _joint_trans()
+    ref = _run(y, tuning, trans, "prob", ma_n=ma_n, ma_l=ma_l)
+    par = _run(y, tuning, trans, "pallas_parallel", ma_n=ma_n, ma_l=ma_l)
+    _assert_match(ref, par)
+    assert np.exp(np.asarray(par[0]))[:, :, 1].max() < 1e-20
+
+
+def test_parallel_changing_dt_and_scale():
+    rng = np.random.default_rng(5)
+    T = 700
+    y = rng.poisson(1.5, size=(T, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    dt_l = jnp.asarray(rng.uniform(0.5, 1.5, T).astype(np.float32))
+    trans = _joint_trans()
+    ref = _run(y, tuning, trans, "prob", dt_l=dt_l, likelihood_scale=2.5)
+    par = _run(y, tuning, trans, "pallas_parallel", dt_l=dt_l,
+               likelihood_scale=2.5)
+    _assert_match(ref, par)
+
+
+def test_parallel_slow_mixing_converges_exactly():
+    """Near-reducible chain (tiny jump probability, narrow kernel): the
+    fixed-point iteration must run extra passes and still land on the exact
+    answer — this exercises the multi-pass path."""
+    rng = np.random.default_rng(9)
+    T = 800
+    y = rng.poisson(1.5, size=(T, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    trans = _joint_trans(mv=0.3, pmj=0.0005, pjm=0.0005)
+    ref = _run(y, tuning, trans, "prob")
+    par = _run(y, tuning, trans, "pallas_parallel")
+    _assert_match(ref, par)
+
+
+def test_parallel_marginal_smooth_lean():
+    rng = np.random.default_rng(11)
+    T = 600
+    y = rng.poisson(1.5, size=(T, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    trans = _joint_trans()
+    ref = _run(y, tuning, trans, "prob")
+    par = _run(y, tuning, trans, "pallas_parallel",
+               memory_mode="checkpoint", marginal_smooth=True)
+    lat_m, dyn_m = np.exp(np.asarray(par[0][0])), np.exp(np.asarray(par[0][1]))
+    full = np.exp(np.asarray(ref[0]))
+    np.testing.assert_allclose(lat_m, full.sum(1), rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(dyn_m, full.sum(2), rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(float(par[1]), float(ref[1]), rtol=1e-5)
+    assert par[2] is None and par[5] is None
+
+
+def test_parallel_tiny_T_falls_back():
+    """Sequences too short to chunk route to the sequential pallas engine
+    and still honor the full contract."""
+    rng = np.random.default_rng(13)
+    T = 40
+    y = rng.poisson(1.5, size=(T, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    trans = _joint_trans()
+    ref = _run(y, tuning, trans, "prob")
+    par = _run(y, tuning, trans, "pallas_parallel")
+    _assert_match(ref, par)
+
+
+def test_choose_parallel_config_shapes():
+    assert ps.choose_parallel_config(30, 100, 2) is None
+    cfg = ps.choose_parallel_config(1_000_000, 500, 2)
+    assert cfg is not None
+    C, bt_f, bt_b = cfg
+    assert C >= 32 and bt_f >= 4 and bt_b >= 4
+    cfg_small = ps.choose_parallel_config(2048, 100, 2)
+    assert cfg_small is not None
+
+
+def test_parallel_fit_em_end_to_end():
+    """Model-level: PoissonGPLVMJump1D with inference_engine='pallas_parallel'
+    matches the prob engine through 2 EM iterations + decode."""
+    import jax.random as jr
+
+    import poor_man_gplvm_tpu as pmg
+
+    T = 600
+    kw = dict(n_latent_bin=11, movement_variance=1.0, tuning_lengthscale=3.0)
+    m_ref = pmg.PoissonGPLVMJump1D(5, inference_engine="prob", **kw)
+    _, spk = m_ref.sample(T)
+    em_ref = m_ref.fit_em(spk, key=jr.PRNGKey(0), n_iter=2, verboase=False)
+    m_par = pmg.PoissonGPLVMJump1D(
+        5, inference_engine="pallas_parallel", **kw
+    )
+    em_par = m_par.fit_em(spk, key=jr.PRNGKey(0), n_iter=2, verboase=False)
+    # iteration 1 is a pure E-step comparison; later iterations accumulate
+    # float32-level engine differences through the Adam M-step, so the
+    # trajectory tolerance is a few ulps looser
+    np.testing.assert_allclose(
+        float(em_par["log_marginal_l"][0]),
+        float(em_ref["log_marginal_l"][0]), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(em_par["log_marginal_l"]),
+        np.asarray(em_ref["log_marginal_l"]), rtol=5e-5,
+    )
+    d_ref = m_ref.decode_latent(spk)
+    d_par = m_par.decode_latent(spk)
+    np.testing.assert_allclose(
+        float(d_par["log_marginal_final"]),
+        float(d_ref["log_marginal_final"]), rtol=5e-5,
+    )
+    # probabilities, absolute scale: the fitted params differ at f32 noise
+    # level after 2 Adam M-steps (chaotic amplification), which moves
+    # individual posterior entries by O(1e-3..1e-2) even though the
+    # log-marginals agree to 5e-5.  Tight per-step parity is asserted by
+    # the fixed-parameter engine tests above.
+    np.testing.assert_allclose(
+        d_par["posterior_latent_marg"], d_ref["posterior_latent_marg"],
+        atol=1e-2,
+    )
