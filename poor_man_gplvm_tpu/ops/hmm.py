@@ -684,7 +684,7 @@ def smooth_combined_chunked(
     # latency).  Explicit 'prob'/'log' engines are never upgraded.
     if (
         engine == "pallas"
-        and n_time_tot >= 200_000
+        and n_time_tot >= 100_000
         and jax.default_backend() == "tpu"
     ):
         engine = "pallas_parallel"

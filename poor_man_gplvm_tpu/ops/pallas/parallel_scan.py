@@ -110,7 +110,10 @@ def choose_parallel_config(T, L, n_dyn):
     C = 128 if Lp <= 256 else 64
     bt_f = 16 if Lp <= 256 else 8
     bt_b = bt_f
-    budget = 14 << 20
+    # the kernels request a raised scoped-VMEM limit (v5e has 128 MB
+    # physical VMEM; the 16 MB default is only the scoped cap), so the
+    # budget here mainly bounds double-buffer bloat
+    budget = 40 << 20
     while bwd_vmem(C, bt_b) > budget and bt_b > 4:
         bt_b //= 2
     while bwd_vmem(C, bt_b) > budget and C > 8:
@@ -221,6 +224,9 @@ def _pfilter_pass(w_c, tlat_p, tdyn, ins, *, C, block_t, tc_eff, n_valid,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((n_dyn, C, Lp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=_interpret(),
     )(w_c, tlat_p, tdyn, ins)
     if finals_only:
@@ -420,6 +426,9 @@ def _psmooth_pass(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t, tc_eff,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=_interpret(),
     )(post_c, tlat_p, tlatT_p, tdyn, ins)
 
@@ -449,7 +458,12 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale, *,
                          marginal, want_post, max_passes, tol):
     n_dyn, L = tlat.shape[0], tlat.shape[-1]
     Lp = _round_up(L, LANE)
-    Tcp = _round_up(tc_eff, max(block_t, block_t_bwd))
+    # for long chunks, Tcp also rounds to the normalizer-reconstruction
+    # block (128 rows) so that scan runs ~Tcp/128 well-shaped einsum
+    # iterations instead of thousands of tiny ones; the <=12.5% extra
+    # padding rows are masked no-ops
+    sv_bt = 128 if tc_eff >= 1024 else max(block_t, block_t_bwd)
+    Tcp = _round_up(tc_eff, max(block_t, block_t_bwd, sv_bt))
 
     # ---- likelihood weights in chunk layout ----
     m = jnp.max(ll, axis=1)  # (T,)
@@ -505,7 +519,6 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale, *,
     # converged boundary carry.  Computed as a scan over row-blocks so the
     # shifted-posterior / prior intermediates stay O(block) instead of two
     # (Tcp, n_dyn, C, Lp) arrays (2x 4 GB at north-star scale).
-    sv_bt = max(block_t, block_t_bwd)
     nb_sv = Tcp // sv_bt
     post_r = post_c.reshape(nb_sv, sv_bt, n_dyn, C, Lp)
     w_r = w_c.reshape(nb_sv, sv_bt, C, Lp)
