@@ -20,7 +20,9 @@ SCRIPTS = os.path.join(REPO, "scripts")
 pytestmark = pytest.mark.examples
 
 
-def _run(path, extra_args=(), timeout=420, tmp_path=None):
+def _run(path, extra_args=(), timeout=900, tmp_path=None):
+    # generous timeout: these are rot detectors, not perf tests, and the
+    # suite may share the machine with TPU benchmark jobs
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["MPLBACKEND"] = "Agg"
