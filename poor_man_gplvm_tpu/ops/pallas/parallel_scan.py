@@ -127,12 +127,90 @@ def choose_parallel_config(T, L, n_dyn):
 
 
 # ---------------------------------------------------------------------------
+# pure-JAX reference passes (off-TPU: CPU tests, shard_map interpret)
+#
+# Bit-compatible-in-structure lax.scan equivalents of the Pallas pass
+# kernels, used when the backend is not a TPU.  Besides serving tests,
+# they sidestep interpret-mode pallas' varying-mesh-axes limitations under
+# jax.shard_map.
+# ---------------------------------------------------------------------------
+
+
+def _pfilter_pass_ref(w_c, tlat_p, tdyn, ins, *, C, block_t, tc_eff,
+                      n_valid, uniform_rows, finals_only, out_vma=None):
+    Tcp = w_c.shape[0]
+    nv = jnp.asarray(n_valid, dtype=jnp.int32)
+    chunk_off = jnp.arange(C, dtype=jnp.int32) * tc_eff
+
+    def step(carry, inp):
+        tau, w_t = inp
+        q = jnp.einsum("pcl,pd->dcl", carry, tdyn, precision=HIGHEST)
+        prior = jnp.einsum("dci,dij->dcj", q, tlat_p, precision=HIGHEST)
+        u = prior * w_t[None]
+        ssum = jnp.sum(u, axis=(0, 2), keepdims=True)
+        new = u / jnp.maximum(ssum, 1e-38)
+        valid = (chunk_off + tau) < nv
+        if Tcp != tc_eff:
+            valid = jnp.logical_and(valid, tau < tc_eff)
+        new = jnp.where(valid[None, :, None], new, carry)
+        return new, new
+
+    taus = jnp.arange(Tcp, dtype=jnp.int32)
+    fin, post = lax.scan(step, ins, (taus, w_c))
+    if finals_only:
+        return None, fin
+    return post, fin
+
+
+def _psmooth_pass_ref(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t,
+                      tc_eff, n_valid, uniform_rows, marginal, finals_only,
+                      out_vma=None):
+    Tcp = post_c.shape[0]
+    nv = jnp.asarray(n_valid, dtype=jnp.int32)
+    chunk_off = jnp.arange(C, dtype=jnp.int32) * tc_eff
+    q = jnp.einsum("tpcl,pd->tdcl", post_c, tdyn, precision=HIGHEST)
+    prior_c = jnp.einsum("tdci,dij->tdcj", q, tlat_p, precision=HIGHEST)
+
+    def step(carry, inp):
+        tau, p_filt, p_prior = inp
+        safe = jnp.where(p_prior > 0, p_prior, 1.0)
+        r = jnp.where(p_prior > 0, carry / safe, 0.0)
+        valid = (chunk_off + tau) < (nv - 1)
+        if Tcp != tc_eff:
+            valid = jnp.logical_and(valid, tau < tc_eff)
+        r = jnp.where(valid[None, :, None], r, 0.0)
+        pull_s = jnp.einsum("ecl,elj->ecj", r, tlatT_p, precision=HIGHEST)
+        pull = jnp.einsum("de,ecl->dcl", tdyn, pull_s, precision=HIGHEST)
+        sm = p_filt * pull
+        norm = jnp.sum(sm, axis=(0, 2), keepdims=True)
+        new = jnp.where(
+            valid[None, :, None], sm / jnp.maximum(norm, 1e-38), carry
+        )
+        return new, (new, r)
+
+    taus = jnp.arange(Tcp, dtype=jnp.int32)
+    fin, (smooth, r) = lax.scan(
+        step, ins, (taus, post_c, prior_c), reverse=True
+    )
+    if finals_only:
+        return (fin,)
+    if marginal:
+        latmarg = jnp.sum(smooth, axis=1)
+        dynm = jnp.sum(smooth, axis=3)
+        acc = jnp.einsum(
+            "tdci,tecj->deij", post_c, r, precision=HIGHEST
+        )
+        return (latmarg, dynm, acc, fin)
+    return (smooth, r, fin)
+
+
+# ---------------------------------------------------------------------------
 # forward (causal filter) pass kernel
 # ---------------------------------------------------------------------------
 
 
-def _pfilter_kernel(w_ref, tlat_ref, tdyn_ref, ins_ref, *refs,
-                    n_dyn, C, block_t, tc_eff, n_valid, masked_tail,
+def _pfilter_kernel(nv_ref, w_ref, tlat_ref, tdyn_ref, ins_ref, *refs,
+                    n_dyn, C, block_t, tc_eff, masked_tail,
                     uniform_rows, finals_only):
     if finals_only:
         final_ref, carry_ref = refs
@@ -175,7 +253,7 @@ def _pfilter_kernel(w_ref, tlat_ref, tdyn_ref, ins_ref, *refs,
             sd = jnp.sum(u_d, axis=1, keepdims=True)
             s = sd if s is None else s + sd
         inv = 1.0 / jnp.maximum(s, 1e-38)
-        valid = (chunk_off + tau) < n_valid  # (C, 1)
+        valid = (chunk_off + tau) < nv_ref[0, 0]  # (C, 1)
         if masked_tail:  # Tcp > tc_eff: padding rows are hard no-ops
             valid = jnp.logical_and(valid, tau < tc_eff)
         for d in range(n_dyn):
@@ -190,30 +268,46 @@ def _pfilter_kernel(w_ref, tlat_ref, tdyn_ref, ins_ref, *refs,
 
 
 def _pfilter_pass(w_c, tlat_p, tdyn, ins, *, C, block_t, tc_eff, n_valid,
-                  uniform_rows, finals_only):
+                  uniform_rows, finals_only, out_vma=None):
+    if _interpret():  # off-TPU: the pure-JAX scan reference
+        return _pfilter_pass_ref(
+            w_c, tlat_p, tdyn, ins, C=C, block_t=block_t, tc_eff=tc_eff,
+            n_valid=n_valid, uniform_rows=uniform_rows,
+            finals_only=finals_only,
+        )
+    # out_vma: varying-mesh-axes for the outputs when called inside a
+    # jax.shard_map body (pallas outputs must declare their vma there)
+    def _sds(shape):
+        if out_vma is None:
+            return jax.ShapeDtypeStruct(shape, jnp.float32)
+        return jax.ShapeDtypeStruct(shape, jnp.float32,
+                                    vma=frozenset(out_vma))
+
     Tcp, _, Lp = w_c.shape
     n_dyn = tlat_p.shape[0]
     grid = (Tcp // block_t,)
     kern = functools.partial(
         _pfilter_kernel, n_dyn=n_dyn, C=C, block_t=block_t, tc_eff=tc_eff,
-        n_valid=n_valid, masked_tail=Tcp != tc_eff,
+        masked_tail=Tcp != tc_eff,
         uniform_rows=uniform_rows, finals_only=finals_only,
     )
+    nv = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1, 1)
     const3 = lambda g: (0, 0, 0)
     out_specs = [
         pl.BlockSpec((n_dyn, C, Lp), const3, memory_space=pltpu.VMEM),
     ]
-    out_shape = [jax.ShapeDtypeStruct((n_dyn, C, Lp), jnp.float32)]
+    out_shape = [_sds((n_dyn, C, Lp))]
     if not finals_only:
         out_specs.insert(0, pl.BlockSpec(
             (block_t, n_dyn, C, Lp), lambda g: (g, 0, 0, 0),
             memory_space=pltpu.VMEM))
-        out_shape.insert(0, jax.ShapeDtypeStruct(
-            (Tcp, n_dyn, C, Lp), jnp.float32))
+        out_shape.insert(0, _sds((Tcp, n_dyn, C, Lp)))
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((block_t, C, Lp), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_dyn, Lp, Lp), const3, memory_space=pltpu.VMEM),
@@ -228,7 +322,7 @@ def _pfilter_pass(w_c, tlat_p, tdyn, ins, *, C, block_t, tc_eff, n_valid,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=_interpret(),
-    )(w_c, tlat_p, tdyn, ins)
+    )(nv, w_c, tlat_p, tdyn, ins)
     if finals_only:
         return None, out[0]
     return out[0], out[1]
@@ -239,8 +333,9 @@ def _pfilter_pass(w_c, tlat_p, tdyn, ins, *, C, block_t, tc_eff, n_valid,
 # ---------------------------------------------------------------------------
 
 
-def _psmooth_kernel(post_ref, tlat_ref, tlatT_ref, tdyn_ref, ins_ref, *refs,
-                    n_dyn, C, block_t, tc_eff, n_valid, n_blocks,
+def _psmooth_kernel(nv_ref, post_ref, tlat_ref, tlatT_ref, tdyn_ref,
+                    ins_ref, *refs,
+                    n_dyn, C, block_t, tc_eff, n_blocks,
                     masked_tail, uniform_rows, marginal, finals_only):
     if finals_only:
         final_ref, carry_ref, prior_ref = refs
@@ -290,7 +385,7 @@ def _psmooth_kernel(post_ref, tlat_ref, tlatT_ref, tdyn_ref, ins_ref, *refs,
         # recursion domain is t in [0, T-2]; row T-1 stores the carry
         # (= post[T-1] via the fixed boundary input), padding rows store
         # the carry passthrough and are sliced off outside
-        valid = gidx < (n_valid - 1)
+        valid = gidx < (nv_ref[0, 0] - 1)
         if masked_tail:  # Tcp > tc_eff: padding rows are hard no-ops
             valid = jnp.logical_and(valid, tau < tc_eff)
         rs = []
@@ -365,7 +460,21 @@ def _psmooth_kernel(post_ref, tlat_ref, tlatT_ref, tdyn_ref, ins_ref, *refs,
 
 
 def _psmooth_pass(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t, tc_eff,
-                  n_valid, uniform_rows, marginal, finals_only):
+                  n_valid, uniform_rows, marginal, finals_only,
+                  out_vma=None):
+    if _interpret():  # off-TPU: the pure-JAX scan reference
+        return _psmooth_pass_ref(
+            post_c, tlat_p, tlatT_p, tdyn, ins, C=C, block_t=block_t,
+            tc_eff=tc_eff, n_valid=n_valid, uniform_rows=uniform_rows,
+            marginal=marginal, finals_only=finals_only,
+        )
+
+    def _sds(shape):
+        if out_vma is None:
+            return jax.ShapeDtypeStruct(shape, jnp.float32)
+        return jax.ShapeDtypeStruct(shape, jnp.float32,
+                                    vma=frozenset(out_vma))
+
     Tcp, n_dyn, _, Lp = post_c.shape
     n_blocks = Tcp // block_t
     rev4 = lambda g: (n_blocks - 1 - g, 0, 0, 0)
@@ -374,16 +483,17 @@ def _psmooth_pass(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t, tc_eff,
     const4 = lambda g: (0, 0, 0, 0)
     kern = functools.partial(
         _psmooth_kernel, n_dyn=n_dyn, C=C, block_t=block_t, tc_eff=tc_eff,
-        n_valid=n_valid, n_blocks=n_blocks, masked_tail=Tcp != tc_eff,
+        n_blocks=n_blocks, masked_tail=Tcp != tc_eff,
         uniform_rows=uniform_rows, marginal=marginal,
         finals_only=finals_only,
     )
+    nv = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1, 1)
     final_spec = pl.BlockSpec((n_dyn, C, Lp), const3,
                               memory_space=pltpu.VMEM)
-    final_shape = jax.ShapeDtypeStruct((n_dyn, C, Lp), jnp.float32)
+    final_shape = _sds((n_dyn, C, Lp))
     big_spec = pl.BlockSpec((block_t, n_dyn, C, Lp), rev4,
                             memory_space=pltpu.VMEM)
-    big_shape = jax.ShapeDtypeStruct((Tcp, n_dyn, C, Lp), jnp.float32)
+    big_shape = _sds((Tcp, n_dyn, C, Lp))
     scratch = [pltpu.VMEM((n_dyn, C, Lp), jnp.float32),
                pltpu.VMEM((block_t, n_dyn, C, Lp), jnp.float32)]
     if finals_only:
@@ -391,7 +501,7 @@ def _psmooth_pass(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t, tc_eff,
     elif marginal:
         acc_spec = pl.BlockSpec((n_dyn, n_dyn, Lp, Lp), const4,
                                 memory_space=pltpu.VMEM)
-        acc_shape = jax.ShapeDtypeStruct((n_dyn, n_dyn, Lp, Lp), jnp.float32)
+        acc_shape = _sds((n_dyn, n_dyn, Lp, Lp))
         out_specs = [
             pl.BlockSpec((block_t, C, Lp), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_t, n_dyn, C), rev3,
@@ -415,6 +525,8 @@ def _psmooth_pass(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t, tc_eff,
         kern,
         grid=(n_blocks,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((block_t, n_dyn, C, Lp), rev4,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_dyn, Lp, Lp), const3, memory_space=pltpu.VMEM),
@@ -430,7 +542,7 @@ def _psmooth_pass(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t, tc_eff,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=_interpret(),
-    )(post_c, tlat_p, tlatT_p, tdyn, ins)
+    )(nv, post_c, tlat_p, tlatT_p, tdyn, ins)
 
 
 # ---------------------------------------------------------------------------

@@ -14,15 +14,27 @@ over ICI:
   so params/opt-state shard over the neuron axis; only the scalar loss used
   by the Adam stopping rule is psum'd (keeping the reference's global-loss
   convergence semantics, fit_tuning_helper.py:154-164).
-* **time** (SP): the forward/backward scans are inherently sequential, so
-  time sharding uses a **software-pipelined staged ppermute schedule**: at
-  global step k, time-shard s runs chain b = k - s's local chunk scan and
-  hands the boundary carry to shard s+1.  Chains stream through the shard
-  pipeline, so a batch of B chains costs (B + n_time - 1) stage-times
-  instead of B * n_time — every device does useful work at (almost) every
-  step once the pipeline fills.  Exact — same semantics as the reference's
-  host chunk loop (decoder.py:283-324) with the carry riding ICI instead of
-  HBM.  Per-device memory is O(B * T / n_time).
+* **time** (SP), two engines:
+
+  - **cross-mesh fixed-point parallel-in-time scans** (``time_engine=
+    'pscan'``, the default for single sequences): every device advances its
+    local C chunks simultaneously with the ops/pallas/parallel_scan pass
+    kernels, chunk-boundary carries cross devices via one ``ppermute`` per
+    pass, and global convergence is a ``pmax`` of boundary deltas.  A
+    device boundary is just another chunk boundary, so the mesh converges
+    in the same 2-3 passes as one chip and each pass costs
+    O(T / (n_time * C)) sequential steps — the time axis MULTIPLIES chunk
+    parallelism.  Exact at convergence (fixed-point certificate), pass
+    count capped at n_time * C.
+  - **software-pipelined staged ppermute schedule** (``'pipeline'``): at
+    global step k, time-shard s runs chain b = k - s's local chunk scan and
+    hands the boundary carry to shard s+1.  Chains stream through the shard
+    pipeline, so a batch of B chains costs (B + n_time - 1) stage-times
+    instead of B * n_time — the right schedule for many-chain fan-out.
+    Exact — same semantics as the reference's host chunk loop
+    (decoder.py:283-324) with the carry riding ICI instead of HBM.
+
+  Per-device memory is O(B * T / n_time) either way.
 
 Pipeline parallelism (PP) and expert parallelism (EP) have no counterpart in
 this model family (no layer stack, no MoE — SURVEY.md §2.5); sequence
@@ -331,6 +343,233 @@ def _staggered_backward(filt, prior, trans, axis_name, n_time_valid=None):
 
 
 # ---------------------------------------------------------------------------
+# cross-mesh fixed-point parallel-in-time scans (time_engine='pscan')
+# ---------------------------------------------------------------------------
+
+
+def _pscan_smooth_local(ll, trans, scale, t_true, axis_name, tol=1e-6):
+    """Per-shard body of the cross-mesh fixed-point smoother.
+
+    Each device holds a contiguous time shard and runs the
+    ops/pallas/parallel_scan pass kernels over its LOCAL C chunks; the
+    chunk-boundary carries cross devices with one ``ppermute`` per pass and
+    global convergence is a ``pmax`` of the per-device boundary deltas.  A
+    device boundary behaves exactly like a chunk boundary, so the whole
+    mesh converges in the same 2-3 passes as a single chip, and each pass
+    costs O(T / (n_time * C)) sequential steps.  Exact at convergence
+    (same fixed-point certificate as the single-chip engine), pass count
+    capped at n_time * C where the result is exact by induction.
+
+    ll: (T_local, L) post-psum local log-likelihood (padded rows beyond
+    ``t_true`` are hard no-ops via the kernels' dynamic validity bound).
+    Returns (log_smooth, lml, log_post, ratios, log_acc) — local rows for
+    the time-sharded outputs, replicated scalars/acc."""
+    from poor_man_gplvm_tpu.ops.pallas import parallel_scan as _ps
+    from poor_man_gplvm_tpu.ops.pallas.scan_kernels import LANE, _round_up
+
+    nt = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    Tl, L = ll.shape
+    is_joint = hasattr(trans, "Tdyn")
+    n_dyn = trans.Tdyn.shape[0] if is_joint else 1
+    tlat = trans.Tlat if is_joint else trans.T[None]
+    tdyn = (
+        trans.Tdyn if is_joint else jnp.ones((1, 1), dtype=jnp.float32)
+    )
+    cfg = _ps.choose_parallel_config(Tl, L, n_dyn)
+    if cfg is None:
+        # local shard too short for the single-chip heuristics (tests,
+        # tiny problems): a minimal config is still correct — with C=1
+        # the fixed point parallelizes purely across devices
+        cfg = (max(1, min(16, Tl // 16)), 8, 8)
+    C, bt_f, bt_b = cfg
+    tc_eff = -(-Tl // C)
+    Lp = _round_up(L, LANE)
+    sv_bt = 128 if tc_eff >= 1024 else max(bt_f, bt_b)
+    Tcp = _round_up(tc_eff, max(bt_f, bt_b, sv_bt))
+
+    # local validity bounds (rows at global index >= t_true are padding)
+    nv_fwd = jnp.clip(t_true - idx * Tl, 0, Tl)
+    # backward kernel recurses rows with local j < nv - 1
+    nv_bwd = jnp.clip(t_true - 1 - idx * Tl, 0, Tl) + 1
+
+    # ---- local chunk-layout weights ----
+    m = jnp.max(ll, axis=1)
+    w = jnp.exp(scale * (ll - m[:, None]))
+    w_flat = jnp.zeros((C * tc_eff, Lp), dtype=jnp.float32)
+    w_flat = w_flat.at[:Tl, :L].set(w)
+    w_c = jnp.zeros((Tcp, C, Lp), dtype=jnp.float32)
+    w_c = w_c.at[:tc_eff].set(
+        jnp.transpose(w_flat.reshape(C, tc_eff, Lp), (1, 0, 2))
+    )
+    tlat_p = jnp.zeros((n_dyn, Lp, Lp), dtype=jnp.float32)
+    tlat_p = tlat_p.at[:, :L, :L].set(tlat)
+    tlatT_p = jnp.zeros((n_dyn, Lp, Lp), dtype=jnp.float32)
+    tlatT_p = tlatT_p.at[:, :L, :L].set(jnp.swapaxes(tlat, -1, -2))
+    tdyn_f = tdyn.astype(jnp.float32)
+
+    p_init = jnp.exp(trans.uniform_log_init())
+    if not is_joint:
+        p_init = p_init[None]
+    init_p = jnp.zeros((n_dyn, Lp), dtype=jnp.float32).at[:, :L].set(p_init)
+    uniform_p = jnp.zeros((n_dyn, Lp), dtype=jnp.float32).at[:, :L].set(
+        1.0 / (n_dyn * L)
+    )
+
+    vma = jax.typeof(ll).vma | {axis_name}
+    prom = partial(_match_vma, target_vma=vma)
+    # interpret-mode pallas under shard_map requires every kernel operand
+    # to carry the same varying-mesh-axes; promote the replicated
+    # transition matrices to match the data
+    tlat_p, tlatT_p, tdyn_f = prom(tlat_p), prom(tlatT_p), prom(tdyn_f)
+
+    ins0 = jnp.broadcast_to(uniform_p[:, None, :], (n_dyn, C, Lp))
+    ins0 = prom(jnp.where(
+        (idx == 0)
+        & (jax.lax.broadcasted_iota(jnp.int32, (1, C, 1), 1) == 0),
+        init_p[:, None, :], ins0,
+    ))
+
+    out_vma = tuple(vma)
+    fwd = partial(
+        _ps._pfilter_pass, C=C, block_t=bt_f, tc_eff=tc_eff,
+        n_valid=nv_fwd, uniform_rows=trans.uniform_rows, out_vma=out_vma,
+    )
+    perm_f = [(i, i + 1) for i in range(nt - 1)]
+    max_passes = nt * C
+
+    def gshift_f(fin):
+        recv = lax.ppermute(fin[:, -1], axis_name, perm_f)
+        first = jnp.where(idx == 0, init_p, recv)
+        return jnp.concatenate([first[:, None], fin[:, :-1]], axis=1)
+
+    def f_body(state):
+        ins, _delta, k = state
+        _, fin = fwd(w_c, tlat_p, tdyn_f, ins, finals_only=True)
+        new_ins = gshift_f(fin)
+        # pmax makes the delta axis-invariant; promote it back so the
+        # loop carry's varying-mesh-axes type stays stable
+        delta = prom(lax.pmax(jnp.max(jnp.abs(new_ins - ins)), axis_name))
+        return new_ins, delta, k + 1
+
+    def fp_cond(state):
+        _, delta, k = state
+        return jnp.logical_and(delta > tol, k < max_passes)
+
+    fstate = f_body(
+        (ins0, prom(jnp.array(jnp.inf, jnp.float32)),
+         prom(jnp.array(0, jnp.int32)))
+    )
+    ins_used, _fd, _fk = lax.while_loop(fp_cond, f_body, fstate)
+    post_c, _fin = fwd(w_c, tlat_p, tdyn_f, ins_used, finals_only=False)
+
+    # ---- per-step normalizers (local rows), as in the single-chip driver
+    nb_sv = Tcp // sv_bt
+    post_r = post_c.reshape(nb_sv, sv_bt, n_dyn, C, Lp)
+    w_r = w_c.reshape(nb_sv, sv_bt, C, Lp)
+
+    def sval_block(carry_row, xs):
+        blk, w_blk = xs
+        prev = jnp.concatenate([carry_row[None], blk[:-1]], axis=0)
+        hi = jax.lax.Precision.HIGHEST
+        q = jnp.einsum("tpcl,pd->tdcl", prev, tdyn_f, precision=hi)
+        prior = jnp.einsum("tdci,dij->tdcj", q, tlat_p, precision=hi)
+        sv = jnp.einsum("tdcl,tcl->tc", prior, w_blk, precision=hi)
+        return blk[-1], sv
+
+    _, svals_r = lax.scan(sval_block, ins_used, (post_r, w_r))
+    svals = svals_r.reshape(Tcp, C)
+    tau_ids = jnp.arange(Tcp, dtype=jnp.int32)[:, None]
+    cids = jnp.arange(C, dtype=jnp.int32)[None, :]
+    valid_tc = jnp.logical_and(
+        tau_ids < tc_eff, cids * tc_eff + tau_ids < nv_fwd
+    )
+    svals = jnp.where(valid_tc, jnp.maximum(svals, 1e-38), 1.0)
+    ratios = (
+        jnp.log(jnp.transpose(svals)[:, :tc_eff].reshape(-1)[:Tl])
+        + scale * m
+    )
+    global_t = idx * Tl + jnp.arange(Tl)
+    ratios = jnp.where(global_t < t_true, ratios, 0.0)
+    lml = lax.psum(jnp.sum(ratios), axis_name)
+
+    # ---- backward ----
+    local_j = t_true - 1 - idx * Tl  # local index of the global last row
+    owner = jnp.logical_and(local_j >= 0, local_j < Tl)
+    past = local_j < 0
+    jc = jnp.clip(local_j, 0, Tl - 1)
+    c_j, tau_j = jc // tc_eff, jc % tc_eff
+    pt_local = lax.dynamic_slice(
+        post_c, (tau_j, 0, c_j, 0), (1, n_dyn, 1, Lp)
+    )[0, :, 0, :]
+    pt1 = lax.psum(jnp.where(owner, pt_local, 0.0), axis_name)
+    chunk_ids = jnp.arange(C)
+    ovr = jnp.where(owner, chunk_ids >= c_j, past)  # (C,)
+
+    def apply_ovr(ins):
+        return jnp.where(ovr[None, :, None], pt1[:, None, :], ins)
+
+    perm_b = [(i + 1, i) for i in range(nt - 1)]
+
+    def gshift_b(fin):
+        recv = lax.ppermute(fin[:, 0], axis_name, perm_b)
+        new_ins = jnp.concatenate([fin[:, 1:], recv[:, None]], axis=1)
+        return apply_ovr(new_ins)
+
+    recv_post0 = lax.ppermute(post_c[0][:, 0], axis_name, perm_b)
+    guess = apply_ovr(jnp.concatenate(
+        [post_c[0][:, 1:], recv_post0[:, None]], axis=1
+    ))
+
+    bwd = partial(
+        _ps._psmooth_pass, C=C, tc_eff=tc_eff, n_valid=nv_bwd,
+        uniform_rows=trans.uniform_rows, marginal=False, out_vma=out_vma,
+    )
+
+    def b_body(state):
+        ins, _delta, k = state
+        (fin,) = bwd(post_c, tlat_p, tlatT_p, tdyn_f, ins,
+                     block_t=bt_f, finals_only=True)
+        new_ins = gshift_b(fin)
+        delta = prom(lax.pmax(jnp.max(jnp.abs(new_ins - ins)), axis_name))
+        return new_ins, delta, k + 1
+
+    bstate = b_body(
+        (prom(guess), prom(jnp.array(jnp.inf, jnp.float32)),
+         prom(jnp.array(0, jnp.int32)))
+    )
+    ins_bwd, _bd, _bk = lax.while_loop(fp_cond, b_body, bstate)
+    out_c, r_c, _f = bwd(post_c, tlat_p, tlatT_p, tdyn_f, ins_bwd,
+                         block_t=bt_b, finals_only=False)
+
+    # r rows are zeroed on invalid steps inside the kernel, so the local
+    # contraction sums only real (t, t+1) pairs; psum completes it
+    acc_raw = jnp.einsum("tdci,tecj->deij", post_c, r_c,
+                         precision=jax.lax.Precision.HIGHEST)
+    acc_raw = lax.psum(acc_raw, axis_name)[:, :, :L, :L]
+    # scale with the UNpromoted (replicated) matrices so acc stays
+    # axis-invariant, matching its P() out_spec
+    acc = (
+        acc_raw * tdyn.astype(jnp.float32)[:, :, None, None]
+        * tlat[None, :, :, :]
+    )
+    if not is_joint:
+        acc = acc[0, 0]
+
+    smooth_l = _ps._chunk_to_flat(out_c, tc_eff, Tl)[:, :, :L]
+    post_l = _ps._chunk_to_flat(post_c, tc_eff, Tl)[:, :, :L]
+    if not is_joint:
+        smooth_l, post_l = smooth_l[:, 0], post_l[:, 0]
+    return (
+        prob_to_log(smooth_l),
+        lml,
+        prob_to_log(post_l),
+        ratios,
+        prob_to_log(acc),
+    )
+
+
+# ---------------------------------------------------------------------------
 # drop-in sharded smoother (single sequence) for the model classes
 # ---------------------------------------------------------------------------
 
@@ -356,6 +595,7 @@ def sharded_smooth(
     likelihood_scale=1.0,
     observation_model="poisson",
     dt_l=None,
+    time_engine="auto",
 ):
     """Multi-chip forward-backward smoother: drop-in for
     ``hmm.smooth_combined_chunked`` returning the same 6-tuple
@@ -364,6 +604,22 @@ def sharded_smooth(
     decoder.py:258-332) with time sharded over mesh['time'] and neurons
     over mesh['neuron'].  log_likelihood_all is None (the full (T, L) LL is
     never materialized unsharded).
+
+    ``time_engine`` selects how the sequential scans cross the time axis:
+
+    * ``'pscan'`` — cross-mesh fixed-point parallel-in-time scans: every
+      device advances its local chunk batch simultaneously (the
+      ops/pallas/parallel_scan kernels locally), with chunk-boundary
+      carries crossing devices via ``ppermute`` and global convergence by
+      ``pmax``; a device boundary is just another chunk boundary, so the
+      whole mesh converges in the same 2-3 passes as one chip.  Wall-clock
+      per pass is O(T / (n_time * C_local)) sequential steps — the time
+      axis multiplies chunk parallelism instead of serializing.
+    * ``'pipeline'`` — the exact staged-ppermute carry hand-off (one
+      device active per stage for a single sequence; still the right
+      schedule for many-chain batches via make_sharded_em_step).
+    * ``'auto'`` (default) — 'pscan' when the local shard is long enough
+      to chunk, else 'pipeline'.
 
     Works for both state spaces (JointTransition / LatentTransition) and
     both emissions.  T and N need not divide the mesh: padding is exact
@@ -413,8 +669,23 @@ def sharded_smooth(
             ),
             jnp.ones((Tp - T,), dtype=jnp.float32),
         ])
+    if time_engine not in ("auto", "pscan", "pipeline"):
+        raise ValueError(f"unknown time_engine {time_engine!r}")
+    if time_engine == "auto":
+        from poor_man_gplvm_tpu.ops.pallas.parallel_scan import (
+            choose_parallel_config,
+        )
+
+        Tl = Tp // d_time
+        n_dyn = trans.Tdyn.shape[0] if hasattr(trans, "Tdyn") else 1
+        time_engine = (
+            "pscan"
+            if choose_parallel_config(Tl, L, n_dyn) is not None
+            else "pipeline"
+        )
     fn = _smooth_program(
-        mesh, observation_model, dt_l is not None, noise_std.ndim == 1
+        mesh, observation_model, dt_l is not None, noise_std.ndim == 1,
+        time_engine,
     )
     log_smooth, lml, log_causal, ratios, log_acc = fn(
         y_p, tuning_p, ma_p, ma_latent, noise_std, dt_p,
@@ -431,11 +702,13 @@ def sharded_smooth(
 
 
 @_lru_cache(maxsize=32)
-def _smooth_program(mesh, observation_model, has_dt, noise_is_vec):
+def _smooth_program(mesh, observation_model, has_dt, noise_is_vec,
+                    time_engine="pipeline"):
     """Jitted sharded-smoother program, cached per (mesh, emission, dt/noise
-    layout) so repeated calls (the EM loop) hit the jit trace cache instead
-    of re-tracing every iteration.  Everything value-like — transition
-    matrices, likelihood scale, valid length — enters as an operand."""
+    layout, time engine) so repeated calls (the EM loop) hit the jit trace
+    cache instead of re-tracing every iteration.  Everything value-like —
+    transition matrices, likelihood scale, valid length — enters as an
+    operand."""
 
     def local(y_b, tuning_b, ma_b, ma_lat, noise_b, dt_b, scale, t_true,
               trans):
@@ -453,6 +726,9 @@ def _smooth_program(mesh, observation_model, has_dt, noise_is_vec):
         global_t = idx * Tl + jnp.arange(Tl)
         row_real = (global_t < t_true)[:, None]
         ll = jnp.where(row_real & ~ma_lat[None, :], MASK_NEG, ll)
+
+        if time_engine == "pscan":
+            return _pscan_smooth_local(ll, trans, scale, t_true, "time")
 
         post, prior, ratios, lml, _final = _staggered_forward(
             ll[None], trans, scale, "time"

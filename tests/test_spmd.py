@@ -147,12 +147,15 @@ def test_staggered_pipeline_matches_single_device(setup):
         )
 
 
+@pytest.mark.parametrize("time_engine", ["pipeline", "pscan"])
 @pytest.mark.parametrize("T_odd", [T, T - 5])
 @pytest.mark.parametrize("observation_model", ["poisson", "gaussian"])
-def test_sharded_smooth_joint(setup, T_odd, observation_model):
+def test_sharded_smooth_joint(setup, T_odd, observation_model, time_engine):
     """sharded_smooth == smooth_combined_chunked for the joint model, both
     emissions, including a T that does not divide the time axis and a
-    masked latent bin (exact padding)."""
+    masked latent bin (exact padding), under both time engines (the exact
+    staged-ppermute pipeline and the cross-mesh fixed-point parallel-in-
+    time scans)."""
     y, basis, params, log_post, trans = setup
     mesh = spmd.make_mesh(8, batch=1)  # (1, 4, 2)
 
@@ -163,7 +166,7 @@ def test_sharded_smooth_joint(setup, T_odd, observation_model):
 
     got = spmd.sharded_smooth(
         mesh, y_b, tuning, hyperparam, trans, jnp.ones(N), ma_latent,
-        observation_model=observation_model,
+        observation_model=observation_model, time_engine=time_engine,
     )
     want = hmm.smooth_combined_chunked(
         y_b, tuning, hyperparam, trans, jnp.ones(N), ma_latent,
@@ -183,7 +186,8 @@ def test_sharded_smooth_joint(setup, T_odd, observation_model):
     )
 
 
-def test_sharded_smooth_latentonly(setup):
+@pytest.mark.parametrize("time_engine", ["pipeline", "pscan"])
+def test_sharded_smooth_latentonly(setup, time_engine):
     """sharded_smooth over a LatentTransition (latent-only models)."""
     y, basis, params, log_post, trans_joint = setup
     mesh = spmd.make_mesh(8, batch=1)
@@ -195,6 +199,7 @@ def test_sharded_smooth_latentonly(setup):
 
     got = spmd.sharded_smooth(
         mesh, y[0], tuning, {}, trans, jnp.ones(N), jnp.ones(L),
+        time_engine=time_engine,
     )
     want = hmm.smooth_combined_chunked(
         y[0], tuning, {}, trans, jnp.ones(N), jnp.ones(L), engine="prob"
