@@ -159,3 +159,28 @@ def test_multipage_wrapper(tmp_path):
         fig_save_dir=str(tmp_path),
     )
     assert len(paths) == 2
+
+
+def test_plotly_private_helpers():
+    """The reference's per-key style machinery (reference
+    plot_helper.py:88-113): deep style merge, scalar-or-dict option
+    resolution, and int-or-list tick requests."""
+    from poor_man_gplvm_tpu.plotting.plotly_helpers import (
+        _compute_tickvals,
+        _deep_update,
+        _per_key,
+    )
+
+    base = {"marker": {"size": 3, "color": "red"}, "mode": "lines"}
+    _deep_update(base, {"marker": {"size": 7}})
+    assert base == {"marker": {"size": 7, "color": "red"}, "mode": "lines"}
+
+    assert _per_key({"a": 5}, "a") == 5
+    assert _per_key({"a": 5}, "b") is None
+    assert _per_key(42, "anything") == 42
+
+    assert _compute_tickvals(3, 0.0, 1.0) == [0.0, 0.5, 1.0]
+    assert _compute_tickvals([1.5, 2.5], 0, 1) == [1.5, 2.5]
+    assert _compute_tickvals(None, 0, 1) is None
+    assert _compute_tickvals(4, 2.0, 2.0) == [2.0]
+    assert _compute_tickvals(4, np.nan, 1.0) is None
