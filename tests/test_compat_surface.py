@@ -177,8 +177,12 @@ def test_gap_fill_surface():
     )
     assert smooth.shape == (T, L) and acc.shape == (L, L)
 
-    # get_s_b == get_statistics y_weighted
+    # get_s_b == get_statistics y_weighted; the reference-named top-level
+    # shim must expose the same module surface
+    import poor_man_gplvm_tpu.fit_tuning_with_basis as ftb_shim
+    assert ftb_shim.glm_get_tuning is not None
     from poor_man_gplvm_tpu.ops import fit_tuning_with_basis as ftb
+    assert ftb_shim.get_s_b is ftb.get_s_b
     from poor_man_gplvm_tpu.ops import mstep
     spk = jnp.asarray(rng.poisson(1.0, (T, 4)).astype(np.float32))
     logp = jnp.log(jnp.asarray(rng.dirichlet(np.ones(L), T).astype(np.float32)))
