@@ -147,19 +147,20 @@ def _pfilter_pass_ref(w_c, tlat_p, tdyn, ins, *, C, block_t, tc_eff,
         q = jnp.einsum("pcl,pd->dcl", carry, tdyn, precision=HIGHEST)
         prior = jnp.einsum("dci,dij->dcj", q, tlat_p, precision=HIGHEST)
         u = prior * w_t[None]
-        ssum = jnp.sum(u, axis=(0, 2), keepdims=True)
-        new = u / jnp.maximum(ssum, 1e-38)
+        ssum = jnp.sum(u, axis=(0, 2))  # (C,)
+        new = u / jnp.maximum(ssum[None, :, None], 1e-38)
         valid = (chunk_off + tau) < nv
         if Tcp != tc_eff:
             valid = jnp.logical_and(valid, tau < tc_eff)
         new = jnp.where(valid[None, :, None], new, carry)
-        return new, new
+        sv = jnp.where(valid, jnp.maximum(ssum, 1e-38), 1.0)
+        return new, (new, sv)
 
     taus = jnp.arange(Tcp, dtype=jnp.int32)
-    fin, post = lax.scan(step, ins, (taus, w_c))
+    fin, (post, svals) = lax.scan(step, ins, (taus, w_c))
     if finals_only:
-        return None, fin
-    return post, fin
+        return None, None, fin
+    return post, svals, fin
 
 
 def _psmooth_pass_ref(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t,
@@ -214,9 +215,9 @@ def _pfilter_kernel(nv_ref, w_ref, tlat_ref, tdyn_ref, ins_ref, *refs,
                     uniform_rows, finals_only):
     if finals_only:
         final_ref, carry_ref = refs
-        post_ref = None
+        post_ref = sval_ref = None
     else:
-        post_ref, final_ref, carry_ref = refs
+        post_ref, sval_ref, final_ref, carry_ref = refs
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -261,6 +262,12 @@ def _pfilter_kernel(nv_ref, w_ref, tlat_ref, tdyn_ref, ins_ref, *refs,
             carry_ref[d] = new_d
             if not finals_only:
                 post_ref[pl.ds(t, 1), d] = new_d[None]
+        if not finals_only:
+            # the per-step normalizer IS the log-marginal ratio ingredient;
+            # emitting it here saves a whole reconstruction sweep outside
+            sval_ref[pl.ds(t, 1), :] = jnp.where(
+                valid, jnp.maximum(s, 1e-38), 1.0
+            ).reshape(1, C)
         return 0
 
     jax.lax.fori_loop(0, block_t, body, 0)
@@ -299,6 +306,9 @@ def _pfilter_pass(w_c, tlat_p, tdyn, ins, *, C, block_t, tc_eff, n_valid,
     out_shape = [_sds((n_dyn, C, Lp))]
     if not finals_only:
         out_specs.insert(0, pl.BlockSpec(
+            (block_t, C), lambda g: (g, 0), memory_space=pltpu.VMEM))
+        out_shape.insert(0, _sds((Tcp, C)))
+        out_specs.insert(0, pl.BlockSpec(
             (block_t, n_dyn, C, Lp), lambda g: (g, 0, 0, 0),
             memory_space=pltpu.VMEM))
         out_shape.insert(0, _sds((Tcp, n_dyn, C, Lp)))
@@ -324,8 +334,8 @@ def _pfilter_pass(w_c, tlat_p, tdyn, ins, *, C, block_t, tc_eff, n_valid,
         interpret=_interpret(),
     )(nv, w_c, tlat_p, tdyn, ins)
     if finals_only:
-        return None, out[0]
-    return out[0], out[1]
+        return None, None, out[0]
+    return out[0], out[1], out[2]
 
 
 # ---------------------------------------------------------------------------
@@ -570,12 +580,7 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale, *,
                          marginal, want_post, max_passes, tol):
     n_dyn, L = tlat.shape[0], tlat.shape[-1]
     Lp = _round_up(L, LANE)
-    # for long chunks, Tcp also rounds to the normalizer-reconstruction
-    # block (128 rows) so that scan runs ~Tcp/128 well-shaped einsum
-    # iterations instead of thousands of tiny ones; the <=12.5% extra
-    # padding rows are masked no-ops
-    sv_bt = 128 if tc_eff >= 1024 else max(block_t, block_t_bwd)
-    Tcp = _round_up(tc_eff, max(block_t, block_t_bwd, sv_bt))
+    Tcp = _round_up(tc_eff, max(block_t, block_t_bwd))
 
     # ---- likelihood weights in chunk layout ----
     m = jnp.max(ll, axis=1)  # (T,)
@@ -609,7 +614,7 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale, *,
 
     def fwd_body(state):
         ins, _delta, k = state
-        _, fin = fwd(w_c, tlat_p, tdyn, ins, finals_only=True)
+        _, _, fin = fwd(w_c, tlat_p, tdyn, ins, finals_only=True)
         new_ins = jnp.concatenate([ins[:, :1], fin[:, :-1]], axis=1)
         delta = jnp.max(jnp.abs(new_ins - ins))
         return new_ins, delta, k + 1
@@ -624,35 +629,10 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale, *,
     ins_used, fwd_delta, fwd_passes = lax.while_loop(
         fwd_cond, fwd_body, fstate
     )
-    post_c, _fin = fwd(w_c, tlat_p, tdyn, ins_used, finals_only=False)
+    # the emit pass stores the per-step normalizers (the exact values used
+    # in the recursion) alongside the posteriors — no reconstruction sweep
+    post_c, svals, _fin = fwd(w_c, tlat_p, tdyn, ins_used, finals_only=False)
 
-    # ---- per-step normalizers, reconstructed OUTSIDE the kernel ----
-    # s_t = <push(post_{t-1}), w_t>, each chunk's first row seeded by the
-    # converged boundary carry.  Computed as a scan over row-blocks so the
-    # shifted-posterior / prior intermediates stay O(block) instead of two
-    # (Tcp, n_dyn, C, Lp) arrays (2x 4 GB at north-star scale).
-    nb_sv = Tcp // sv_bt
-    post_r = post_c.reshape(nb_sv, sv_bt, n_dyn, C, Lp)
-    w_r = w_c.reshape(nb_sv, sv_bt, C, Lp)
-
-    def sval_block(carry_row, xs):
-        blk, w_blk = xs
-        prev = jnp.concatenate([carry_row[None], blk[:-1]], axis=0)
-        q = jnp.einsum("tpcl,pd->tdcl", prev, tdyn, precision=PRECISION)
-        prior = jnp.einsum(
-            "tdci,dij->tdcj", q, tlat_p, precision=PRECISION
-        )
-        s = jnp.einsum("tdcl,tcl->tc", prior, w_blk, precision=PRECISION)
-        return blk[-1], s
-
-    _, svals_r = lax.scan(sval_block, ins_used, (post_r, w_r))
-    svals = svals_r.reshape(Tcp, C)
-    tau_ids = jnp.arange(Tcp, dtype=jnp.int32)[:, None]
-    cids = jnp.arange(C, dtype=jnp.int32)[None, :]
-    valid_tc = jnp.logical_and(
-        tau_ids < tc_eff, cids * tc_eff + tau_ids < T
-    )
-    svals = jnp.where(valid_tc, jnp.maximum(svals, 1e-38), 1.0)
     ratios = (
         jnp.log(jnp.transpose(svals)[:, :tc_eff].reshape(-1)[:T])
         + likelihood_scale * m

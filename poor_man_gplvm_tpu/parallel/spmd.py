@@ -385,8 +385,7 @@ def _pscan_smooth_local(ll, trans, scale, t_true, axis_name, tol=1e-6):
     C, bt_f, bt_b = cfg
     tc_eff = -(-Tl // C)
     Lp = _round_up(L, LANE)
-    sv_bt = 128 if tc_eff >= 1024 else max(bt_f, bt_b)
-    Tcp = _round_up(tc_eff, max(bt_f, bt_b, sv_bt))
+    Tcp = _round_up(tc_eff, max(bt_f, bt_b))
 
     # local validity bounds (rows at global index >= t_true are padding)
     nv_fwd = jnp.clip(t_true - idx * Tl, 0, Tl)
@@ -445,7 +444,7 @@ def _pscan_smooth_local(ll, trans, scale, t_true, axis_name, tol=1e-6):
 
     def f_body(state):
         ins, _delta, k = state
-        _, fin = fwd(w_c, tlat_p, tdyn_f, ins, finals_only=True)
+        _, _, fin = fwd(w_c, tlat_p, tdyn_f, ins, finals_only=True)
         new_ins = gshift_f(fin)
         # pmax makes the delta axis-invariant; promote it back so the
         # loop carry's varying-mesh-axes type stays stable
@@ -461,30 +460,9 @@ def _pscan_smooth_local(ll, trans, scale, t_true, axis_name, tol=1e-6):
          prom(jnp.array(0, jnp.int32)))
     )
     ins_used, _fd, _fk = lax.while_loop(fp_cond, f_body, fstate)
-    post_c, _fin = fwd(w_c, tlat_p, tdyn_f, ins_used, finals_only=False)
-
-    # ---- per-step normalizers (local rows), as in the single-chip driver
-    nb_sv = Tcp // sv_bt
-    post_r = post_c.reshape(nb_sv, sv_bt, n_dyn, C, Lp)
-    w_r = w_c.reshape(nb_sv, sv_bt, C, Lp)
-
-    def sval_block(carry_row, xs):
-        blk, w_blk = xs
-        prev = jnp.concatenate([carry_row[None], blk[:-1]], axis=0)
-        hi = jax.lax.Precision.HIGHEST
-        q = jnp.einsum("tpcl,pd->tdcl", prev, tdyn_f, precision=hi)
-        prior = jnp.einsum("tdci,dij->tdcj", q, tlat_p, precision=hi)
-        sv = jnp.einsum("tdcl,tcl->tc", prior, w_blk, precision=hi)
-        return blk[-1], sv
-
-    _, svals_r = lax.scan(sval_block, ins_used, (post_r, w_r))
-    svals = svals_r.reshape(Tcp, C)
-    tau_ids = jnp.arange(Tcp, dtype=jnp.int32)[:, None]
-    cids = jnp.arange(C, dtype=jnp.int32)[None, :]
-    valid_tc = jnp.logical_and(
-        tau_ids < tc_eff, cids * tc_eff + tau_ids < nv_fwd
-    )
-    svals = jnp.where(valid_tc, jnp.maximum(svals, 1e-38), 1.0)
+    # the emit pass stores the per-step normalizers (invalid rows hold 1.0)
+    post_c, svals, _fin = fwd(w_c, tlat_p, tdyn_f, ins_used,
+                              finals_only=False)
     ratios = (
         jnp.log(jnp.transpose(svals)[:, :tc_eff].reshape(-1)[:Tl])
         + scale * m
