@@ -46,15 +46,18 @@ def main():
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
-    y = rng.poisson(1.0, size=(T, N)).astype(np.float32)
+    # pre-place on device: passing host numpy re-uploads ~40 MB through
+    # the remote tunnel on EVERY fit_em call (~0.8 s), flooring the
+    # measurement (PERFORMANCE.md remote-device rule 3)
+    y = jax.device_put(rng.poisson(1.0, size=(T, N)).astype(np.float32))
 
     model = pmg.PoissonGPLVMJump1D(
         N, n_latent_bin=L, movement_variance=1, tuning_lengthscale=10.0
     )
-    # warmup: compile all programs (2 EM iters hit both the fresh- and
-    # threaded-opt-state program variants)
+    # warmup: compile all programs with the EXACT timed configuration —
+    # the fused EM fast path compiles one program per (shapes, n_iter)
     t0 = time.time()
-    model.fit_em(y, key=jr.PRNGKey(3), n_iter=2, verboase=False)
+    model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters, verboase=False)
     log(f"warmup (compile) {time.time()-t0:.1f}s")
 
     t0 = time.time()
@@ -65,8 +68,8 @@ def main():
 
     # reference-compat 10k chunking diagnostic (chunking is exact; the
     # default auto path should be at least as fast)
-    model.fit_em(y, key=jr.PRNGKey(3), n_iter=1, n_time_per_chunk=10_000,
-                 verboase=False)
+    model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters,
+                 n_time_per_chunk=10_000, verboase=False)
     t0 = time.time()
     model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters,
                  n_time_per_chunk=10_000, verboase=False)
@@ -146,7 +149,9 @@ def main():
         for mm, label in [("filter_bf16", "filter_bf16"),
                           ("checkpoint", "checkpoint")]:
             try:
-                model_big.fit_em(y_big, key=jr.PRNGKey(3), n_iter=1,
+                # warm with the EXACT timed configuration: n_iter=2 hits
+                # both the fresh- and threaded-opt-state program variants
+                model_big.fit_em(y_big, key=jr.PRNGKey(3), n_iter=2,
                                  n_time_per_chunk=100_000, verboase=False,
                                  save_every=10**9, output_mode="lean",
                                  memory_mode=mm)

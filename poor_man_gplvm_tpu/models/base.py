@@ -98,6 +98,7 @@ class _GPLVMCommon(ABC):
         state = self.__dict__.copy()
         state["adam_runner"] = None
         state["opt_state_init_fun"] = None
+        state.pop("_fused_prog_cache", None)
         return state
 
     def __setstate__(self, state):
@@ -234,6 +235,85 @@ class _GPLVMCommon(ABC):
             "ll_per_pos_l": ll_per_pos_l,
         }
 
+    def _fused_mid_iters(
+        self, y_, hyperparam, trans, tuning_basis, ma_neuron, ma_latent,
+        likelihood_scale, n_time_per_chunk, memory_mode, params, opt_state,
+        log_post_marg, n_mid, output_mode="full",
+    ):
+        """Middle EM iterations as ONE lax.scan device program.
+
+        Each scanned iteration is the same math as the host loop — M-step
+        on the latent-marginal posterior, tuning link, lean-marginal
+        E-step (identical values to the full E-step, reduced outputs) —
+        but the host dispatches a single program for all of them instead
+        of ~4 per iteration (~tens of ms per iteration through a
+        remote-tunneled device).  Used for iterations [start+1, n_iter-1)
+        when nothing per-iteration is observable (no checkpointing /
+        profiling / snapshots / progress bar).  Returns the final carry
+        plus stacked per-iteration log-marginals and M-step diagnostics."""
+        from poor_man_gplvm_tpu.ops import hmm as _hmm
+
+        # mirror the host loop's per-mode memory default exactly so the
+        # fused trajectory is bit-identical to the loop trajectory
+        mm = memory_mode or (
+            "checkpoint" if output_mode == "lean" else "auto"
+        )
+        obs = self.observation_model
+        engine = self.inference_engine
+
+        def prog(carry, y_in, basis_in, trans_in, ma_n, ma_l):
+            # closes over hyperparam scalars only; all arrays enter as
+            # operands so nothing large is baked into the program as a
+            # constant (a closed-over device array becomes an embedded
+            # constant — 400 MB at T=100k, GBs at the north-star)
+            def body(c, _):
+                params_c, opt_c, log_post = c
+                m_res = self.m_step(
+                    params_c, y_in, log_post, basis_in, hyperparam,
+                    opt_state_curr=opt_c, host_trim=False,
+                )
+                params_n = m_res["params"]
+                opt_n = m_res.get("opt_state", None)
+                tuning = self.get_tuning(params_n, hyperparam, basis_in)
+                smooth_out, lml, _c2, _p, _a, _l = (
+                    _hmm.smooth_combined_chunked(
+                        y_in, tuning, hyperparam, trans_in, ma_n, ma_l,
+                        likelihood_scale=likelihood_scale,
+                        n_time_per_chunk=n_time_per_chunk,
+                        observation_model=obs, engine=engine,
+                        memory_mode=mm, marginal_smooth=True,
+                    )
+                )
+                lat_log = smooth_out[0]
+                diag = {
+                    k: v for k, v in m_res.items()
+                    if k not in ("params", "opt_state")
+                }
+                return (params_n, opt_n, lat_log), (lml, diag)
+
+            return jax.lax.scan(body, carry, None, length=n_mid)
+
+        # cache the jitted program per (static config) — a fresh jax.jit
+        # per call would retrace AND recompile every fit_em invocation
+        # (measured ~5 s per call at T=100k), defeating the fast path
+        cache_key = (
+            n_mid, mm, obs, engine, float(likelihood_scale),
+            n_time_per_chunk, output_mode,
+            tuple(sorted((k, float(v)) for k, v in hyperparam.items()
+                         if np.isscalar(v))),
+        )
+        cache = getattr(self, "_fused_prog_cache", None)
+        if cache is None:
+            cache = self._fused_prog_cache = {}
+        fused_prog = cache.get(cache_key)
+        if fused_prog is None:
+            fused_prog = cache[cache_key] = jax.jit(prog)
+        (params, opt_state, log_post), (lml_mid, diag_mid) = fused_prog(
+            (params, opt_state, log_post_marg), y_, tuning_basis, trans,
+            ma_neuron, ma_latent,
+        )
+        return params, opt_state, log_post, lml_mid, diag_mid
+
     # ------------------------------------------------------------------
     # EM template (reference core.py:259-373 / 592-713)
     # ------------------------------------------------------------------
@@ -345,8 +425,26 @@ class _GPLVMCommon(ABC):
 
         phase_times = {"m_step": [], "e_step": [], "collect": []}
 
-        for i in tqdm.trange(start_iter, n_iter, desc="EM",
-                             disable=not verboase):
+        # fused fast path: run the MIDDLE EM iterations as one lax.scan
+        # program (one device dispatch instead of ~4 per iteration).
+        # Iteration 0 stays on the host (it produces the save_every
+        # snapshots), as does the final iteration (full-output E-step).
+        fused = kwargs.pop("fused", None)
+        can_fuse = (
+            checkpointer is None and not profile and mesh is None
+            and save_every >= n_iter and (n_iter - start_iter) >= 3
+            and self.inference_engine != "log"
+        )
+        use_fused = (
+            (fused if fused is not None else not verboase) and can_fuse
+        )
+        iter_schedule = (
+            [start_iter, n_iter - 1] if use_fused
+            else range(start_iter, n_iter)
+        )
+
+        for i in tqdm.tqdm(iter_schedule, desc="EM", total=n_iter,
+                           disable=not verboase):
             t0 = _time.time()
             m_res = self.m_step(
                 params, y_, log_posterior_curr, tuning_basis, hyperparam,
@@ -436,6 +534,28 @@ class _GPLVMCommon(ABC):
             phase_times["m_step"].append(t1 - t0)
             phase_times["e_step"].append(t2 - t1)
             phase_times["collect"].append(t3 - t2)
+
+            if use_fused and i == start_iter:
+                n_mid = n_iter - 1 - (start_iter + 1)
+                if n_mid > 0:
+                    (
+                        params, opt_state_curr, log_posterior_curr,
+                        lml_mid, diag_mid,
+                    ) = self._fused_mid_iters(
+                        y_, hyperparam, trans, tuning_basis, ma_neuron,
+                        ma_latent, likelihood_scale, n_time_per_chunk,
+                        memory_mode, params, opt_state_curr,
+                        log_posterior_curr, n_mid,
+                        output_mode=output_mode,
+                    )
+                    log_marginal_l.extend(
+                        lml_mid[j] for j in range(n_mid)
+                    )
+                    for k in m_step_res_l:
+                        if k in diag_mid:
+                            m_step_res_l[k].extend(
+                                diag_mid[k][j] for j in range(n_mid)
+                            )
 
             # failure detection: a non-finite log marginal means the fit has
             # diverged (bad hyperparameters / degenerate masks) and every

@@ -725,8 +725,18 @@ def smooth_combined_chunked(
             likelihood_scale, n_time_per_chunk, observation_model, engine,
             dt_l, marginal_smooth=marginal_smooth,
         )
-    if marginal_smooth:
-        raise ValueError("marginal_smooth requires memory_mode='checkpoint'")
+    def _full_out(smooth_log, *rest):
+        # full-mode marginal_smooth: same lean (latent_marg, dyn_marg)
+        # contract as the checkpoint/filter paths, marginalized at return
+        if not marginal_smooth:
+            return (smooth_log,) + rest
+        if smooth_log.ndim == 3:
+            pair = (
+                logsumexp(smooth_log, axis=1), logsumexp(smooth_log, axis=2)
+            )
+        else:
+            pair = (smooth_log, None)
+        return (pair,) + rest
 
     # ---- device-side chunk scan fast path (uniform head + host tail) ----
     if engine in ("prob", "pallas") and n_chunks >= 3:
@@ -780,7 +790,7 @@ def smooth_combined_chunked(
         ll_all = jnp.concatenate(
             [ll_h.reshape(th, ll_h.shape[-1]), ll_t], axis=0
         )
-        return (
+        return _full_out(
             prob_to_log(smooth_all), log_marginal_final,
             prob_to_log(post_all), ratios_all, prob_to_log(bwd_carry[1]),
             ll_all,
@@ -859,7 +869,9 @@ def smooth_combined_chunked(
         post_all = prob_to_log(post_all)
         acc = prob_to_log(acc)
 
-    return smooth_all, log_marginal_final, post_all, ratios_all, acc, ll_all
+    return _full_out(
+        smooth_all, log_marginal_final, post_all, ratios_all, acc, ll_all
+    )
 
 
 def _smooth_parallel_driver(

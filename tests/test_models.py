@@ -286,3 +286,47 @@ def test_fit_em_nan_guard(sim_jump):
     with pytest.raises(FloatingPointError, match="EM diverged"):
         fresh.fit_em(bad, key=jr.PRNGKey(0), n_iter=2, verboase=False,
                      nan_guard=True)
+
+
+@pytest.mark.parametrize("output_mode", ["full", "lean"])
+def test_fused_em_matches_host_loop(output_mode):
+    """The fused fast path (middle EM iterations as one lax.scan program)
+    must be BIT-IDENTICAL to the host loop — same math, fewer dispatches."""
+    import jax.random as jr
+
+    kw = dict(n_latent_bin=9, movement_variance=1.0, tuning_lengthscale=3.0)
+    m1 = pmg.PoissonGPLVMJump1D(5, **kw)
+    _, spk = m1.sample(300)
+    em1 = m1.fit_em(spk, key=jr.PRNGKey(0), n_iter=5, verboase=False,
+                    fused=False, output_mode=output_mode)
+    m2 = pmg.PoissonGPLVMJump1D(5, **kw)
+    em2 = m2.fit_em(spk, key=jr.PRNGKey(0), n_iter=5, verboase=False,
+                    fused=True, output_mode=output_mode)
+    np.testing.assert_array_equal(
+        np.asarray(em1["log_marginal_l"]), np.asarray(em2["log_marginal_l"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(em1["params"]), np.asarray(em2["params"])
+    )
+    assert set(em1.keys()) == set(em2.keys())
+    assert len(em2["m_step_res_l"]["n_iter"]) == 5
+
+
+def test_fused_em_gaussian_and_latentonly():
+    import jax.random as jr
+
+    for cls in (pmg.GaussianGPLVMJump1D, pmg.GaussianGPLVM1D,
+                pmg.PoissonGPLVM1D):
+        m1 = cls(5, n_latent_bin=9, movement_variance=1.0,
+                 tuning_lengthscale=3.0)
+        _, spk = m1.sample(250)
+        em1 = m1.fit_em(spk, key=jr.PRNGKey(1), n_iter=4, verboase=False,
+                        fused=False)
+        m2 = cls(5, n_latent_bin=9, movement_variance=1.0,
+                 tuning_lengthscale=3.0)
+        em2 = m2.fit_em(spk, key=jr.PRNGKey(1), n_iter=4, verboase=False,
+                        fused=True)
+        np.testing.assert_array_equal(
+            np.asarray(em1["log_marginal_l"]),
+            np.asarray(em2["log_marginal_l"]),
+        )
