@@ -261,24 +261,39 @@ class _GPLVMCommon(ABC):
         obs = self.observation_model
         engine = self.inference_engine
 
-        def prog(carry, y_in, basis_in, trans_in, ma_n, ma_l):
-            # closes over hyperparam scalars only; all arrays enter as
-            # operands so nothing large is baked into the program as a
-            # constant (a closed-over device array becomes an embedded
-            # constant — 400 MB at T=100k, GBs at the north-star)
+        # numeric hyperparam entries enter the program as OPERANDS so a
+        # hyperparameter sweep (same shapes, different values) reuses one
+        # compiled program instead of recompiling per config; non-numeric
+        # entries stay static (they steer trace-time decisions)
+        hyper_num = {
+            k: v for k, v in hyperparam.items()
+            if isinstance(v, (int, float, jnp.ndarray, np.ndarray))
+            and not isinstance(v, bool)
+        }
+        hyper_static = {
+            k: v for k, v in hyperparam.items() if k not in hyper_num
+        }
+
+        def prog(carry, y_in, basis_in, trans_in, ma_n, ma_l, hyper_in,
+                 scale_in):
+            # all arrays enter as operands so nothing large is baked into
+            # the program as a constant (a closed-over device array becomes
+            # an embedded constant — 400 MB at T=100k, GBs at north-star)
+            hp = {**hyper_static, **hyper_in}
+
             def body(c, _):
                 params_c, opt_c, log_post = c
                 m_res = self.m_step(
-                    params_c, y_in, log_post, basis_in, hyperparam,
+                    params_c, y_in, log_post, basis_in, hp,
                     opt_state_curr=opt_c, host_trim=False,
                 )
                 params_n = m_res["params"]
                 opt_n = m_res.get("opt_state", None)
-                tuning = self.get_tuning(params_n, hyperparam, basis_in)
+                tuning = self.get_tuning(params_n, hp, basis_in)
                 smooth_out, lml, _c2, _p, _a, _l = (
                     _hmm.smooth_combined_chunked(
-                        y_in, tuning, hyperparam, trans_in, ma_n, ma_l,
-                        likelihood_scale=likelihood_scale,
+                        y_in, tuning, hp, trans_in, ma_n, ma_l,
+                        likelihood_scale=scale_in,
                         n_time_per_chunk=n_time_per_chunk,
                         observation_model=obs, engine=engine,
                         memory_mode=mm, marginal_smooth=True,
@@ -297,10 +312,9 @@ class _GPLVMCommon(ABC):
         # per call would retrace AND recompile every fit_em invocation
         # (measured ~5 s per call at T=100k), defeating the fast path
         cache_key = (
-            n_mid, mm, obs, engine, float(likelihood_scale),
-            n_time_per_chunk, output_mode,
-            tuple(sorted((k, float(v)) for k, v in hyperparam.items()
-                         if np.isscalar(v))),
+            n_mid, mm, obs, engine, n_time_per_chunk, output_mode,
+            tuple(sorted(hyper_num.keys())),
+            tuple(sorted((k, str(v)) for k, v in hyper_static.items())),
         )
         cache = getattr(self, "_fused_prog_cache", None)
         if cache is None:
@@ -311,6 +325,9 @@ class _GPLVMCommon(ABC):
         (params, opt_state, log_post), (lml_mid, diag_mid) = fused_prog(
             (params, opt_state, log_post_marg), y_, tuning_basis, trans,
             ma_neuron, ma_latent,
+            {k: jnp.asarray(v, dtype=jnp.float32) for k, v in
+             hyper_num.items()},
+            jnp.float32(likelihood_scale),
         )
         return params, opt_state, log_post, lml_mid, diag_mid
 
