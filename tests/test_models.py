@@ -330,3 +330,21 @@ def test_fused_em_gaussian_and_latentonly():
             np.asarray(em1["log_marginal_l"]),
             np.asarray(em2["log_marginal_l"]),
         )
+
+
+def test_fused_em_program_reuse_across_hyperparams():
+    """Numeric hyperparam changes must NOT recompile the fused program
+    (sweeps reuse one compiled program per shape)."""
+    import jax.random as jr
+
+    m = pmg.PoissonGPLVMJump1D(5, n_latent_bin=9, movement_variance=1.0,
+                               tuning_lengthscale=3.0)
+    _, spk = m.sample(300)
+    m.fit_em(spk, key=jr.PRNGKey(0), n_iter=4, verboase=False, fused=True,
+             hyperparam={"movement_variance": 0.5})
+    m.fit_em(spk, key=jr.PRNGKey(0), n_iter=4, verboase=False, fused=True,
+             hyperparam={"movement_variance": 2.0})
+    m.fit_em(spk, key=jr.PRNGKey(0), n_iter=4, verboase=False, fused=True,
+             hyperparam={"movement_variance": 2.0, "p_move_to_jump": 0.02})
+    # same numeric KEY SET -> same cache entry; the third call adds a key
+    assert len(m._fused_prog_cache) == 2
