@@ -121,11 +121,26 @@ def main():
         jax.block_until_ready(res["log_marginal_l"])
         dt_sweep = time.time() - t0
         sweep_agg = B_runs * Ts * sweep_iters / dt_sweep
-        single_stream_agg = T / sec_per_iter
+        # comparator: run ONE of the batch's runs serially (same T, same
+        # iters) — the honest alternative a user would face for fan-out
+        one = psweep.sweep_fit_poisson_jump(
+            y_s, {"movement_variance": [1.0]}, n_repeat=1,
+            n_iter=sweep_iters, n_latent_bin=L, tuning_lengthscale=10.0,
+            m_maxiter=100,
+        )
+        jax.block_until_ready(one["log_marginal_l"])
+        t0 = time.time()
+        one = psweep.sweep_fit_poisson_jump(
+            y_s, {"movement_variance": [1.0]}, n_repeat=1,
+            n_iter=sweep_iters, n_latent_bin=L, tuning_lengthscale=10.0,
+            m_maxiter=100,
+        )
+        jax.block_until_ready(one["log_marginal_l"])
+        serial_est = B_runs * (time.time() - t0)
         log(f"sweep fan-out ({B_runs} runs x T={Ts} x {sweep_iters} EM iters):"
             f" {dt_sweep:.2f}s -> {sweep_agg:.0f} aggregate EM timesteps/s"
-            f" ({sweep_agg / single_stream_agg:.1f}x the single-stream"
-            f" {single_stream_agg:.0f}/s)")
+            f" ({serial_est / dt_sweep:.1f}x faster than {B_runs} serial"
+            f" same-size runs, est {serial_est:.2f}s)")
     except Exception as e:
         log(f"sweep bench skipped: {type(e).__name__}: {e}")
 

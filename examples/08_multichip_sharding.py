@@ -35,3 +35,16 @@ step = spmd.make_sharded_poisson_em_step(mesh, basis, trans, m_maxiter=20)
 for i in range(3):
     params, opt_state, log_post, lml, loss = step(params, opt_state, log_post, y)
     print(f"EM iter {i}: lml per chain = {np.round(np.asarray(lml), 1)}")
+
+# -- single-sequence sharded smoother: cross-mesh fixed-point scans --------
+# every device advances its local chunks simultaneously; boundary carries
+# ride one ppermute per pass ('pscan', the default for single sequences);
+# 'pipeline' is the staged hand-off schedule used for many-chain batches
+y1 = jnp.asarray(rng.poisson(1.0, (601, N)), dtype=jnp.float32)
+tuning = jnp.exp(jnp.asarray(rng.normal(size=(L, N)) * 0.2))
+for time_engine in ("pscan", "pipeline"):
+    out = spmd.sharded_smooth(
+        mesh, y1, tuning, {}, trans, jnp.ones(N), jnp.ones(L),
+        time_engine=time_engine,
+    )
+    print(f"sharded_smooth[{time_engine}]: log_marginal = {float(out[1]):.2f}")
