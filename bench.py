@@ -164,18 +164,19 @@ def main():
         for mm, label in [("filter_bf16", "filter_bf16"),
                           ("checkpoint", "checkpoint")]:
             try:
-                # warm with the EXACT timed configuration: n_iter=2 hits
-                # both the fresh- and threaded-opt-state program variants
-                model_big.fit_em(y_big, key=jr.PRNGKey(3), n_iter=2,
+                # warm with the EXACT timed configuration; n_iter=4
+                # engages the fused EM fast path for the middle
+                # iterations and hits both Adam opt-state variants
+                model_big.fit_em(y_big, key=jr.PRNGKey(3), n_iter=4,
                                  n_time_per_chunk=100_000, verboase=False,
                                  save_every=10**9, output_mode="lean",
                                  memory_mode=mm)
                 t0 = time.time()
-                model_big.fit_em(y_big, key=jr.PRNGKey(3), n_iter=2,
+                model_big.fit_em(y_big, key=jr.PRNGKey(3), n_iter=4,
                                  n_time_per_chunk=100_000, verboase=False,
                                  save_every=10**9, output_mode="lean",
                                  memory_mode=mm)
-                northstar = (time.time() - t0) / 2
+                northstar = (time.time() - t0) / 4
                 log(f"north-star fit_em (T=1e6, L=500, N=500, lean, "
                     f"{label}): {northstar:.2f} s/iter")
                 break

@@ -267,8 +267,10 @@ class _GPLVMCommon(ABC):
         # entries stay static (they steer trace-time decisions)
         hyper_num = {
             k: v for k, v in hyperparam.items()
-            if isinstance(v, (int, float, jnp.ndarray, np.ndarray))
-            and not isinstance(v, bool)
+            if isinstance(
+                v, (int, float, jnp.ndarray, np.ndarray, np.generic)
+            )
+            and not isinstance(v, (bool, np.bool_))
         }
         hyper_static = {
             k: v for k, v in hyperparam.items() if k not in hyper_num
@@ -572,6 +574,26 @@ class _GPLVMCommon(ABC):
                         if k in diag_mid:
                             m_step_res_l[k].extend(
                                 diag_mid[k][j] for j in range(n_mid)
+                            )
+                    # divergence check over the fused iterations in one
+                    # bulk transfer (the per-iteration check cannot run
+                    # inside the scanned program; a diverged fused run
+                    # wastes the remaining scanned iterations but still
+                    # fails loudly with the right iteration index)
+                    _check_mid = nan_guard if nan_guard is not None else (
+                        output_mode == "lean"
+                    )
+                    if _check_mid:
+                        lml_host = np.asarray(lml_mid)
+                        if not np.all(np.isfinite(lml_host)):
+                            bad = int(np.argmax(~np.isfinite(lml_host)))
+                            raise FloatingPointError(
+                                "EM diverged: log marginal is "
+                                f"{lml_host[bad]} at iteration "
+                                f"{start_iter + 1 + bad} (fused segment; "
+                                f"T={y_.shape[0]}, "
+                                f"n_latent_bin={self.n_latent_bin}). "
+                                "Check hyperparam values and masks."
                             )
 
             # failure detection: a non-finite log marginal means the fit has

@@ -350,6 +350,12 @@ def _staggered_backward(filt, prior, trans, axis_name, n_time_valid=None):
 def _pscan_smooth_local(ll, trans, scale, t_true, axis_name, tol=1e-6):
     """Per-shard body of the cross-mesh fixed-point smoother.
 
+    KEEP IN SYNC with ops/pallas/parallel_scan._smooth_parallel_jit: the
+    chunk-layout packing, boundary-shift rules and validity bounds here
+    mirror the single-chip driver with the shifts crossing devices via
+    ppermute; a numerics or layout change there must land here too (both
+    are pinned by equality tests against the prob engine).
+
     Each device holds a contiguous time shard and runs the
     ops/pallas/parallel_scan pass kernels over its LOCAL C chunks; the
     chunk-boundary carries cross devices with one ``ppermute`` per pass and
@@ -629,12 +635,11 @@ def sharded_smooth(
     y_p = _pad_axis(_pad_axis(y, 0, d_time), 1, d_neuron)
     ma_p = _pad_axis(_pad_axis(ma2d, 0, d_time), 1, d_neuron)
     # padded tuning columns must stay positive for log(lam)
-    tuning_p = _pad_axis(tuning, 1, d_neuron)
-    if tuning_p.shape != tuning.shape:
-        pad_cols = tuning_p.shape[1] - N
-        tuning_p = jnp.concatenate(
-            [tuning, jnp.ones((L, pad_cols), tuning.dtype)], axis=1
-        )
+    pad_cols = (-N) % d_neuron
+    tuning_p = (
+        jnp.pad(tuning, ((0, 0), (0, pad_cols)), constant_values=1.0)
+        if pad_cols else tuning
+    )
     Tp = y_p.shape[0]
 
     # per-time dt (gain model): pad with 1.0 (padded rows are fully masked)

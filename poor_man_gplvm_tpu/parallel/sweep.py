@@ -258,7 +258,7 @@ def sweep_fit_poisson_jump(
         )  # (Bb, L, nb)
         hp_bucket = {k: v[idx_arr] for k, v in grid.items()}
         keys_bucket = keys[idx_arr]
-        if sharding is not None and len(idxs) % len(mesh.devices) == 0:
+        if sharding is not None and len(idxs) % mesh.devices.size == 0:
             hp_bucket = jax.device_put(hp_bucket, sharding)
             keys_bucket = jax.device_put(keys_bucket, sharding)
             basis_stack = jax.device_put(basis_stack, sharding)

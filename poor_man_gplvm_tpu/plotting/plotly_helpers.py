@@ -171,6 +171,8 @@ def plot_pynapple_data_plotly(
             pass
     keys = list(data.keys())
     n = len(keys)
+    if n == 0:
+        raise ValueError("plot_pynapple_data_plotly: data_dict is empty")
 
     if height_per_plot is not None:  # back-compat alias
         heights = height_per_plot
