@@ -335,7 +335,8 @@ def plot_maze_background(spk_beh_df, ds=10, fig=None, ax=None, mode="line",
         fig, ax = plt.subplots()
     x = np.asarray(spk_beh_df["x"])[::ds]
     y = np.asarray(spk_beh_df["y"])[::ds]
-    kwargs.setdefault("color", "lightgray")
+    if "c" not in kwargs:
+        kwargs.setdefault("color", "lightgray")
     if mode == "line":
         ax.plot(x, y, **kwargs)
     else:

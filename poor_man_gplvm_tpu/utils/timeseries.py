@@ -215,7 +215,14 @@ class Tsd(_TimeIndexed):
     def threshold(self, th, method="above"):
         """Samples above (or below) threshold; time_support becomes the
         contiguous runs where the condition holds."""
-        cond = self.d > th if method == "above" else self.d < th
+        if method == "above":
+            cond = self.d > th
+        elif method == "aboveequal":
+            cond = self.d >= th
+        elif method == "belowequal":
+            cond = self.d <= th
+        else:
+            cond = self.d < th
         runs = _contiguous_runs(cond)
         starts = np.array([self.t[a] for a, b in runs])
         ends = np.array([self.t[b - 1] for a, b in runs])
@@ -239,6 +246,13 @@ class Tsd(_TimeIndexed):
         dt = np.median(np.diff(self.t)) if len(self.t) > 1 else 1.0
         return Tsd(
             d=gaussian_filter1d(np.asarray(self.d, dtype=float), std / dt),
+            t=self.t, time_support=self.time_support,
+        )
+
+    def derivative(self):
+        """Time derivative via central differences (pynapple subset)."""
+        return Tsd(
+            d=np.gradient(np.asarray(self.d, dtype=float), self.t),
             t=self.t, time_support=self.time_support,
         )
 
@@ -267,7 +281,19 @@ class TsdFrame(_TimeIndexed):
     def __array__(self, dtype=None):
         return np.asarray(self.d, dtype=dtype)
 
+    def _col_index(self, name):
+        cols = list(self.columns) if self.columns is not None else []
+        return cols.index(name)
+
     def __getitem__(self, key):
+        if isinstance(key, str):
+            return Tsd(d=self.d[:, self._col_index(key)], t=self.t,
+                       time_support=self.time_support)
+        if (isinstance(key, list)
+                and key and all(isinstance(k, str) for k in key)):
+            idx = [self._col_index(k) for k in key]
+            return TsdFrame(d=self.d[:, idx], t=self.t, columns=key,
+                            time_support=self.time_support)
         if isinstance(key, tuple):
             rows, cols = key
             out = self.d[rows, cols]
@@ -276,10 +302,13 @@ class TsdFrame(_TimeIndexed):
             if np.ndim(out) == 2:
                 return TsdFrame(d=out, t=self.t[rows])
             return out
+        if isinstance(key, np.ndarray) and key.dtype == bool:
+            return TsdFrame(d=self.d[key], t=self.t[key],
+                            columns=self.columns)
         out = self.d[key]
         if isinstance(key, slice):
             if np.ndim(out) == 2:
-                return TsdFrame(d=out, t=self.t[key])
+                return TsdFrame(d=out, t=self.t[key], columns=self.columns)
             return Tsd(d=out, t=self.t[key])
         return out
 
@@ -361,6 +390,18 @@ def compute_perievent_continuous(timeseries, tref, minmax):
         src_lo, src_hi = max(lo, 0), min(hi, len(t))
         out[src_lo - lo : src_lo - lo + (src_hi - src_lo), k] = d[src_lo:src_hi]
     return _PeriEvent(out, rel)
+
+
+def apply_lowpass_filter(tsd, cutoff, order=4):
+    """Zero-phase Butterworth low-pass filter (pynapple subset);
+    cutoff in Hz."""
+    from scipy.signal import butter, filtfilt
+
+    fs = 1.0 / np.median(np.diff(tsd.t))
+    b, a = butter(order, cutoff / (fs / 2), btype="low")
+    d = filtfilt(b, a, np.asarray(tsd.d, dtype=float), axis=0)
+    cls = TsdFrame if d.ndim == 2 else Tsd
+    return cls(d=d, t=tsd.t, time_support=tsd.time_support)
 
 
 def shift_timestamps(ts, min_shift=1.0, max_shift=10.0, rng=None):

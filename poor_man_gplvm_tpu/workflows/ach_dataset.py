@@ -36,6 +36,7 @@ __all__ = [
     "get_decode_res_l_from_em_res_l",
     "load_data_and_fit_res",
     "find_ach_ramp_onset",
+    "find_ach_ramp_onset_old",
     "event_triggered_analysis",
     "event_triggered_analysis_multiple_feature_event",
     "cluster_peri_event",
@@ -127,6 +128,46 @@ def find_ach_ramp_onset(ach_data, smooth_win=1, finite_diff_window_s=1,
         "slope": slope_tsd,
         "slope_peak_time": nap.Ts(peak_times),
         "peak_heights": nap.Tsd(d=metadata["peak_heights"], t=peak_times),
+    }
+
+
+def find_ach_ramp_onset_old(ach_data, smooth_win=1, height=0.05,
+                            do_zscore=True, detrend_cutoff=None, shift=-1.0):
+    """Older ACh ramp-onset detector: z-score, optional low-pass detrend,
+    Gaussian smooth, central-difference slope, peak detection, then shift
+    onsets by ``shift`` seconds to correct for the causal detection window
+    (reference post_fit_ach_dataset.py:104-128)."""
+    if do_zscore:
+        t_l = ach_data.t
+        ach_data = nap.Tsd(d=scipy.stats.zscore(np.asarray(ach_data.d)),
+                           t=t_l)
+    if detrend_cutoff is not None:
+        if hasattr(nap, "apply_lowpass_filter"):
+            trend = np.asarray(nap.apply_lowpass_filter(ach_data,
+                                                        detrend_cutoff).d)
+        else:  # pragma: no cover - pynapple<0.7 fallback
+            from scipy.signal import butter, filtfilt
+
+            fs = 1.0 / np.median(np.diff(ach_data.t))
+            b, a = butter(4, detrend_cutoff / (fs / 2), btype="low")
+            trend = filtfilt(b, a, np.asarray(ach_data.d))
+        ach_data = nap.Tsd(d=np.asarray(ach_data.d) - trend, t=ach_data.t)
+    if smooth_win is not None:
+        ach_data_smth = ach_data.smooth(smooth_win)
+    else:
+        ach_data_smth = ach_data
+
+    slope = ach_data_smth.derivative()
+    peaks, metadata = scipy.signal.find_peaks(np.asarray(slope.d),
+                                              height=height)
+    peak_heights = nap.Tsd(d=metadata["peak_heights"], t=slope.t[peaks])
+    ach_ramp_onset = nap.Ts(slope.t[peaks] + shift)
+    return {
+        "ach_ramp_onset": ach_ramp_onset,
+        "slope": slope,
+        "ach_data_smth": ach_data_smth,
+        "ach_data": ach_data,
+        "peak_heights": peak_heights,
     }
 
 

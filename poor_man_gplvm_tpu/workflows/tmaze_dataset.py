@@ -44,6 +44,10 @@ __all__ = [
     "analyze_peri_transition_jump_consensus",
     "latent_jump_triggered_analysis",
     "get_null_contrastive_projection",
+    "plot_latent_list_vs_position",
+    "plot_multiple_latent_spatial_map",
+    "plot_multiple_latent_posterior_in_time",
+    "get_time_of_arrival_based_one_position",
 ]
 
 
@@ -514,3 +518,157 @@ def get_null_contrastive_projection(
             np.asarray(peri.d if hasattr(peri, "d") else peri).mean(axis=1)
         )
     return np.stack(proj_sh_l, axis=1), np.array(sh_seq_l)
+
+
+def plot_latent_list_vs_position(
+    latent_l, map_latent, behavior_tsdf, pos_col=("x", "y"), fig=None,
+    ax=None, speed_col="speed_gauss", speed_category_thresh=(5,),
+    cmap_name="Spectral_r", kwargs_scatter=None,
+    marker_per_speed_category=("^", "o"), do_plot_maze=False,
+    position_tsdf=None, ds=5, maze_c="grey", maze_alpha=0.3, hide_box=True,
+    seperate_colorbar=True, colorbar=False, background_mode="line",
+    color_time=True, color="red",
+):
+    """Scatter the 2-D positions of the times when each latent in
+    ``latent_l`` is the MAP latent, with marker shape split by speed
+    category (running vs immobility) and color by latent index — or, for a
+    single latent, by time (reference post_fit_tmaze_dataset.py:184-289).
+
+    Returns ``(fig, ax)`` or ``(fig, ax, fig_cbar, cb)`` when
+    ``seperate_colorbar``."""
+    import matplotlib
+    import matplotlib.pyplot as plt
+    from matplotlib.colors import Normalize
+
+    from poor_man_gplvm_tpu.plotting import plot_maze_background
+
+    if kwargs_scatter is None:
+        kwargs_scatter = dict(s=20, alpha=1)
+    if hasattr(map_latent, "d"):
+        map_latent = np.asarray(map_latent.d)
+    map_latent = np.asarray(map_latent)
+    latent_l = np.atleast_1d(np.asarray(latent_l))
+
+    cmap = plt.get_cmap(cmap_name)
+    if ax is None:
+        fig, ax = plt.subplots()
+    if do_plot_maze:
+        assert position_tsdf is not None
+        plot_maze_background(position_tsdf, ds=ds, fig=fig, ax=ax, c=maze_c,
+                             alpha=maze_alpha, mode=background_mode)
+
+    speed = np.asarray(behavior_tsdf[speed_col])
+    speed_category = np.asarray(pd.cut(
+        speed, bins=[0, *speed_category_thresh, np.inf], labels=False
+    ), dtype=float)
+    cat_unique = np.unique(speed_category)
+    cat_unique = cat_unique[~np.isnan(cat_unique)].astype(int)
+
+    t_all = np.asarray(behavior_tsdf.t)
+    x_all = np.asarray(behavior_tsdf[pos_col[0]])
+    y_all = np.asarray(behavior_tsdf[pos_col[1]])
+
+    norm = Normalize(vmin=0, vmax=len(latent_l))
+    if color is None and len(latent_l) > 1:
+        colors = cmap(norm(np.arange(len(latent_l))))
+    else:
+        colors = color
+    # one latent: color each MAP time point by absolute session time so the
+    # temporal evolution is comparable across latents
+    if len(latent_l) == 1 and color_time:
+        mask = map_latent == latent_l[0]
+        norm = Normalize(vmin=t_all.min(), vmax=t_all.max())
+        colors = cmap(norm(t_all[mask]))
+
+    for cat_i in cat_unique:
+        cat_mask = speed_category == cat_i
+        marker = marker_per_speed_category[cat_i]
+        for ii, latent_i in enumerate(latent_l):
+            mask = (map_latent == latent_i) & cat_mask
+            if not mask.any():
+                continue
+            if (len(latent_l) == 1 and color_time
+                    and not isinstance(colors, str)):
+                # per-time colors were built over ALL MAP times of this
+                # latent; subset to this speed category
+                ec = colors[cat_mask[map_latent == latent_l[0]]]
+            elif colors is not None and np.ndim(colors) == 2:
+                ec = colors[ii]
+            else:
+                ec = colors
+            ax.scatter(x_all[mask], y_all[mask], edgecolors=ec,
+                       facecolors="none", marker=marker, **kwargs_scatter)
+    if hide_box:
+        ax.axis("off")
+    if color_time and colorbar:
+        plt.colorbar(plt.cm.ScalarMappable(norm=norm, cmap=cmap), ax=ax)
+    to_return = (fig, ax)
+    if seperate_colorbar:
+        fig_cbar = plt.figure()
+        ax_cbar = fig_cbar.add_axes([0.05, 0.80, 0.05, 0.9])
+        cb = matplotlib.colorbar.ColorbarBase(
+            ax_cbar, orientation="vertical", cmap="Spectral_r"
+        )
+        cb.set_ticks([0, 1])
+        if color_time:
+            cb.set_ticklabels(["Start", "End"])
+        to_return = (fig, ax, fig_cbar, cb)
+    return to_return
+
+
+def plot_multiple_latent_spatial_map(
+    latent_ind_l, posterior_latent_map, behavior_tsdf, position_tsdf=None,
+    speed_thresh=5, color_time=True, kwargs_scatter=None, color=None,
+    speed_col="speed_gauss",
+):
+    """One spatial-map subplot per latent in ``latent_ind_l``
+    (reference post_fit_tmaze_dataset.py:491-514)."""
+    from poor_man_gplvm_tpu.plotting import subplots_wrapper
+
+    if kwargs_scatter is None:
+        kwargs_scatter = dict(s=10, alpha=0.5)
+    fig, axs = subplots_wrapper(len(latent_ind_l))
+    if position_tsdf is None:
+        position_tsdf = behavior_tsdf[["x", "y"]]
+    for ii, i in enumerate(latent_ind_l):
+        ax = np.ravel(axs)[ii]
+        to_return = plot_latent_list_vs_position(
+            [i], posterior_latent_map, behavior_tsdf, pos_col=("x", "y"),
+            fig=fig, ax=ax, speed_col=speed_col,
+            speed_category_thresh=[speed_thresh], cmap_name="Spectral_r",
+            kwargs_scatter=kwargs_scatter,
+            marker_per_speed_category=["^", "o"], do_plot_maze=True,
+            position_tsdf=position_tsdf, ds=5, seperate_colorbar=False,
+            color_time=color_time, color=color,
+        )
+        to_return[1].set_title(f"latent {i}")
+    return fig, axs
+
+
+def plot_multiple_latent_posterior_in_time(posterior_latent, **kwargs):
+    """One posterior-vs-time subplot per latent bin
+    (reference post_fit_tmaze_dataset.py:516-526)."""
+    import matplotlib.pyplot as plt
+
+    from poor_man_gplvm_tpu.plotting import subplots_wrapper
+
+    posterior_latent = np.asarray(posterior_latent)
+    nplots = posterior_latent.shape[1]
+    fig, axs = subplots_wrapper(nplots, **kwargs)
+    for latent_ind in range(nplots):
+        ax = np.ravel(axs)[latent_ind]
+        ax.plot(posterior_latent[:, latent_ind])
+        ax.set_title(f"latent {latent_ind}")
+    plt.tight_layout()
+    return fig, axs
+
+
+def get_time_of_arrival_based_one_position(position_tsdf,
+                                           lin_range=(109, 113)):
+    """Arrival timestamps: the starts of the intervals where the linearized
+    position enters ``lin_range`` (reference
+    post_fit_tmaze_dataset.py:529-532)."""
+    lin_sub = (position_tsdf["lin"]
+               .threshold(lin_range[0], method="aboveequal")
+               .threshold(lin_range[1], method="belowequal"))
+    return nap.Ts(t=np.asarray(lin_sub.time_support.start))

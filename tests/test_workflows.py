@@ -252,3 +252,67 @@ def test_peri_transition_consensus():
         n_shuffle=5, rng=0,
     )
     assert len(sh) == 5
+
+
+def test_find_ach_ramp_onset_old():
+    t = np.arange(2000) * 0.01
+    ach_sig = 1.0 / (1 + np.exp(-(t - 5) * 4)) + 1.0 / (
+        1 + np.exp(-(t - 12) * 4)
+    )
+    res = ach.find_ach_ramp_onset_old(
+        Tsd(d=ach_sig, t=t), smooth_win=0.2, height=0.1, shift=-0.5
+    )
+    onsets = np.asarray(res["ach_ramp_onset"].t)
+    assert len(onsets) == 2
+    # slope peaks at the sigmoid midpoints, shifted back by 0.5 s
+    assert abs(onsets[0] - 4.5) < 1.0 and abs(onsets[1] - 11.5) < 1.0
+    assert {"slope", "ach_data_smth", "ach_data", "peak_heights"} <= set(res)
+
+
+def test_get_time_of_arrival_based_one_position():
+    t = np.arange(100) * 0.1
+    # two passes through lin in [109, 113]
+    lin = np.concatenate([
+        np.linspace(100, 120, 40), np.linspace(120, 100, 40),
+        np.full(20, 100.0),
+    ])
+    pos = TsdFrame(d=lin[:, None], t=t, columns=["lin"])
+    arrivals = tmz.get_time_of_arrival_based_one_position(
+        pos, lin_range=(109, 113)
+    )
+    assert len(arrivals.t) == 2
+    assert np.all(109 <= np.interp(arrivals.t, t, lin))
+    assert np.all(np.interp(arrivals.t, t, lin) <= 113.5)
+
+
+def test_plot_latent_helpers(tmaze_sim):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    map_latent, pos, speed, maze_xy = tmaze_sim
+    t = np.asarray(pos.t)
+    beh = TsdFrame(
+        d=np.column_stack([np.asarray(pos.d), np.asarray(speed.d)]),
+        t=t, columns=["x", "y", "speed_gauss"],
+    )
+    # multi-latent, color by latent index
+    out = tmz.plot_latent_list_vs_position(
+        [0, 1], np.asarray(map_latent.d), beh, color=None, color_time=False,
+        seperate_colorbar=False,
+    )
+    assert len(out) == 2
+    # single latent colored by time + separate colorbar
+    out = tmz.plot_latent_list_vs_position(
+        [1], np.asarray(map_latent.d), beh, seperate_colorbar=True,
+    )
+    assert len(out) == 4
+    fig, axs = tmz.plot_multiple_latent_spatial_map(
+        [0, 1], Tsd(d=np.asarray(map_latent.d, dtype=float), t=t), beh,
+        position_tsdf=beh[["x", "y"]],
+    )
+    assert np.ravel(axs).size >= 2
+    post = np.random.default_rng(0).dirichlet(np.ones(3), 50)
+    fig, axs = tmz.plot_multiple_latent_posterior_in_time(post)
+    assert np.ravel(axs).size >= 3
+    plt.close("all")
