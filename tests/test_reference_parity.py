@@ -56,3 +56,14 @@ def test_parity(case_name, kind, ref_cls, engine):
     bad = pvr.check_case_errs(errs)
     assert not bad, f"tolerance breaches: {bad} (all errs: {errs})"
     assert errs["fit_log_marginal_l"] <= pvr.TOL_LOG_MARGINAL
+
+
+@pytest.mark.parametrize("engine", ["prob", "log"])
+def test_gain_model_parity(engine):
+    """Experimental gain model vs the actual reference: fit_em with gain
+    refits + gain-aware NB decode with gain-refit iterations (VERDICT
+    round-2 missing #2; reference experimental/core_exp.py:172-293)."""
+    errs = pvr.run_gain_case(engine)
+    bad = pvr.check_case_errs(errs)
+    assert not bad, f"tolerance breaches: {bad} (all errs: {errs})"
+    assert errs["fit_log_marginal_l"] <= pvr.TOL_LOG_MARGINAL
