@@ -238,7 +238,7 @@ class _GPLVMCommon(ABC):
     def _fused_mid_iters(
         self, y_, hyperparam, trans, tuning_basis, ma_neuron, ma_latent,
         likelihood_scale, n_time_per_chunk, memory_mode, params, opt_state,
-        log_post_marg, n_mid, output_mode="full",
+        log_post_marg, n_mid, output_mode="full", scan_ws=None,
     ):
         """Middle EM iterations as ONE lax.scan device program.
 
@@ -276,6 +276,16 @@ class _GPLVMCommon(ABC):
             k: v for k, v in hyperparam.items() if k not in hyper_num
         }
 
+        # warm-start the parallel-in-time fixed points across EM iterations:
+        # consecutive iterations' boundary carries differ only by one M-step
+        # of tuning drift, so seeding iteration k+1's fixed points with
+        # iteration k's converged carries cuts the pass count from ~3 toward
+        # 1-2 per direction (the convergence certificate is still enforced
+        # every iteration, so exactness is unaffected)
+        ws_spec = _hmm.parallel_scan_carry_spec(
+            y_.shape[0], trans, engine
+        )
+
         def prog(carry, y_in, basis_in, trans_in, ma_n, ma_l, hyper_in,
                  scale_in):
             # all arrays enter as operands so nothing large is baked into
@@ -284,7 +294,7 @@ class _GPLVMCommon(ABC):
             hp = {**hyper_static, **hyper_in}
 
             def body(c, _):
-                params_c, opt_c, log_post = c
+                params_c, opt_c, log_post, ws = c
                 m_res = self.m_step(
                     params_c, y_in, log_post, basis_in, hp,
                     opt_state_curr=opt_c, host_trim=False,
@@ -292,21 +302,40 @@ class _GPLVMCommon(ABC):
                 params_n = m_res["params"]
                 opt_n = m_res.get("opt_state", None)
                 tuning = self.get_tuning(params_n, hp, basis_in)
-                smooth_out, lml, _c2, _p, _a, _l = (
-                    _hmm.smooth_combined_chunked(
-                        y_in, tuning, hp, trans_in, ma_n, ma_l,
-                        likelihood_scale=scale_in,
-                        n_time_per_chunk=n_time_per_chunk,
-                        observation_model=obs, engine=engine,
-                        memory_mode=mm, marginal_smooth=True,
-                    )
+                smooth_kw = dict(
+                    likelihood_scale=scale_in,
+                    n_time_per_chunk=n_time_per_chunk,
+                    observation_model=obs, engine=engine,
+                    memory_mode=mm, marginal_smooth=True,
                 )
-                lat_log = smooth_out[0]
                 diag = {
                     k: v for k, v in m_res.items()
                     if k not in ("params", "opt_state")
                 }
-                return (params_n, opt_n, lat_log), (lml, diag)
+                if ws_spec is not None:
+                    smooth_out, lml, _c2, _p, _a, _l, ws_out = (
+                        _hmm.smooth_combined_chunked(
+                            y_in, tuning, hp, trans_in, ma_n, ma_l,
+                            scan_carry_in=ws, want_scan_carry=True,
+                            scan_fast=True,
+                            **smooth_kw,
+                        )
+                    )
+                    f_new, b_new, drift, (fp, bp, ef, eb) = ws_out
+                    ws_new = (f_new, b_new, drift, jnp.array(True))
+                    diag["scan_passes"] = jnp.stack([fp, bp])
+                    diag["scan_emit_delta"] = jnp.stack([ef, eb])
+                    diag["scan_drift"] = drift[:2]
+                else:
+                    smooth_out, lml, _c2, _p, _a, _l = (
+                        _hmm.smooth_combined_chunked(
+                            y_in, tuning, hp, trans_in, ma_n, ma_l,
+                            **smooth_kw,
+                        )
+                    )
+                    ws_new = ws
+                lat_log = smooth_out[0]
+                return (params_n, opt_n, lat_log, ws_new), (lml, diag)
 
             return jax.lax.scan(body, carry, None, length=n_mid)
 
@@ -314,7 +343,7 @@ class _GPLVMCommon(ABC):
         # per call would retrace AND recompile every fit_em invocation
         # (measured ~5 s per call at T=100k), defeating the fast path
         cache_key = (
-            n_mid, mm, obs, engine, n_time_per_chunk, output_mode,
+            n_mid, mm, obs, engine, n_time_per_chunk, output_mode, ws_spec,
             tuple(sorted(hyper_num.keys())),
             tuple(sorted((k, str(v)) for k, v in hyper_static.items())),
         )
@@ -324,14 +353,24 @@ class _GPLVMCommon(ABC):
         fused_prog = cache.get(cache_key)
         if fused_prog is None:
             fused_prog = cache[cache_key] = jax.jit(prog)
-        (params, opt_state, log_post), (lml_mid, diag_mid) = fused_prog(
-            (params, opt_state, log_post_marg), y_, tuning_basis, trans,
+        if ws_spec is not None:
+            ws0 = scan_ws if scan_ws is not None else (
+                jnp.zeros(ws_spec, jnp.float32),
+                jnp.zeros(ws_spec, jnp.float32),
+                jnp.full((4,), jnp.inf, jnp.float32),
+                jnp.array(False),
+            )
+        else:
+            ws0 = ()
+        (params, opt_state, log_post, ws), (lml_mid, diag_mid) = fused_prog(
+            (params, opt_state, log_post_marg, ws0), y_, tuning_basis, trans,
             ma_neuron, ma_latent,
             {k: jnp.asarray(v, dtype=jnp.float32) for k, v in
              hyper_num.items()},
             jnp.float32(likelihood_scale),
         )
-        return params, opt_state, log_post, lml_mid, diag_mid
+        return params, opt_state, log_post, lml_mid, diag_mid, \
+            (ws if ws_spec is not None else None)
 
     # ------------------------------------------------------------------
     # EM template (reference core.py:259-373 / 592-713)
@@ -462,6 +501,16 @@ class _GPLVMCommon(ABC):
             else range(start_iter, n_iter)
         )
 
+        # NOTE on warm-started fixed points: only the FUSED mid-iteration
+        # segment warm-starts the parallel-in-time scans — the boundary
+        # carries ride the lax.scan state there, which is memory-free.
+        # Host-loop E-steps (first/last iteration, decode) run cold on the
+        # round-2 program exactly: both exporting carries from and adding
+        # warm-seed operands to a standalone solve perturb XLA's buffer
+        # packing by +2-4 GB of temp arena at north-star shapes (measured,
+        # see parallel_scan._smooth_parallel_jit), and the host iterations
+        # are ~2 of n_iter so the warm-start win there is negligible.
+
         for i in tqdm.tqdm(iter_schedule, desc="EM", total=n_iter,
                            disable=not verboase):
             t0 = _time.time()
@@ -559,7 +608,7 @@ class _GPLVMCommon(ABC):
                 if n_mid > 0:
                     (
                         params, opt_state_curr, log_posterior_curr,
-                        lml_mid, diag_mid,
+                        lml_mid, diag_mid, _ws_fused,
                     ) = self._fused_mid_iters(
                         y_, hyperparam, trans, tuning_basis, ma_neuron,
                         ma_latent, likelihood_scale, n_time_per_chunk,
@@ -570,6 +619,39 @@ class _GPLVMCommon(ABC):
                     log_marginal_l.extend(
                         lml_mid[j] for j in range(n_mid)
                     )
+                    if "scan_passes" in diag_mid:
+                        # (n_mid, 2) fwd/bwd fixed-point pass counts —
+                        # warm-start effectiveness diagnostic
+                        self._scan_passes_mid = np.asarray(
+                            diag_mid.pop("scan_passes")
+                        )
+                    if "scan_drift" in diag_mid:
+                        # (n_mid, 2) per-iteration boundary-carry movement
+                        self._scan_drift_mid = np.asarray(
+                            diag_mid.pop("scan_drift")
+                        )
+                    if "scan_emit_delta" in diag_mid:
+                        # post-hoc certificate for fast-mode solves that
+                        # skipped every finals-only pass: the emit pass's
+                        # residual must stay small or the mid-iteration
+                        # posteriors are suspect (failure detection, like
+                        # the nan guard below)
+                        emit_delta = np.asarray(
+                            diag_mid.pop("scan_emit_delta")
+                        )
+                        self._scan_emit_delta_mid = emit_delta
+                        if np.any(emit_delta > 1e-3):
+                            bad = int(
+                                np.argmax((emit_delta > 1e-3).any(axis=1))
+                            )
+                            raise FloatingPointError(
+                                "parallel-scan warm-start certificate "
+                                f"failed at fused iteration {bad}: emit "
+                                f"residual {emit_delta[bad]} > 1e-3. The "
+                                "fixed-point drift prediction was violated "
+                                "— rerun with fused=False or "
+                                "inference_engine='pallas'."
+                            )
                     for k in m_step_res_l:
                         if k in diag_mid:
                             m_step_res_l[k].extend(

@@ -626,6 +626,9 @@ def smooth_combined_chunked(
     dt_l=None,
     memory_mode="auto",
     marginal_smooth=False,
+    scan_carry_in=None,
+    want_scan_carry=False,
+    scan_fast=False,
 ):
     """Chunked forward-backward smoother — the E-step workhorse.
 
@@ -693,6 +696,13 @@ def smooth_combined_chunked(
             y, tuning, hyperparam, trans, ma_neuron, ma_latent,
             likelihood_scale, observation_model, dt_l, memory_mode,
             marginal_smooth, n_time_per_chunk,
+            scan_carry_in=scan_carry_in, want_scan_carry=want_scan_carry,
+            scan_fast=scan_fast,
+        )
+    if want_scan_carry:
+        raise ValueError(
+            "want_scan_carry requires the parallel-in-time engine "
+            "(use parallel_scan_carry_spec to gate the request)"
         )
 
     if memory_mode == "auto":
@@ -874,9 +884,30 @@ def smooth_combined_chunked(
     )
 
 
+def parallel_scan_carry_spec(n_time, trans, engine, force=False):
+    """Warm-start carry spec ((n_dyn, C, Lp)) when `smooth_combined_chunked`
+    with this engine/shape would run the parallel-in-time engine on the
+    current backend, else None.  ``force=True`` skips the backend/threshold
+    check (for tests)."""
+    from poor_man_gplvm_tpu.ops.pallas import parallel_scan as ps
+
+    is_joint = hasattr(trans, "Tdyn")
+    n_dyn = trans.n_dyn if is_joint else 1
+    upgraded = (
+        engine == "pallas_parallel"
+        or (engine == "pallas" and n_time >= 100_000
+            and jax.default_backend() == "tpu")
+        or force
+    )
+    if not upgraded:
+        return None
+    return ps.carry_spec(n_time, trans.n_latent, n_dyn)
+
+
 def _smooth_parallel_driver(
     y, tuning, hyperparam, trans, ma_neuron, ma_latent, likelihood_scale,
     observation_model, dt_l, memory_mode, marginal_smooth, n_time_per_chunk,
+    scan_carry_in=None, want_scan_carry=False, scan_fast=False,
 ):
     """engine='pallas_parallel': fixed-point parallel-in-time scans
     (ops/pallas/parallel_scan.py).  C chunks of the sequence advance
@@ -892,6 +923,11 @@ def _smooth_parallel_driver(
     L = trans.n_latent
     cfg = ps.choose_parallel_config(T, L, n_dyn)
     if cfg is None:
+        if want_scan_carry:
+            raise ValueError(
+                "want_scan_carry requested but the problem is too small "
+                "for the parallel engine"
+            )
         return smooth_combined_chunked(
             y, tuning, hyperparam, trans, ma_neuron, ma_latent,
             likelihood_scale=likelihood_scale,
@@ -927,10 +963,20 @@ def _smooth_parallel_driver(
         memory_mode == "auto" and est_bytes <= 4e9
     )
 
-    smooth, log_marginal, post, ratios, acc, ll, _diag = ps.smooth_parallel(
-        ll, tlat, tdyn, p_init, likelihood_scale,
-        uniform_rows=trans.uniform_rows, marginal=marginal_smooth,
-        want_post=want_post, config=cfg,
+    # fast mode (fused mid-EM iterations): a 1e-4 boundary-carry tolerance
+    # bounds the posterior error at chunk-start bins by 1e-4 (decaying
+    # geometrically inward) and the log-marginal error by ~1e-9 relative —
+    # far inside the mid-iteration needs — while making the
+    # skip-all-finals-passes prediction (4x drift <= tol) attainable once
+    # the EM trajectory settles.  Strict mode keeps 1e-6.
+    smooth, log_marginal, post, ratios, acc, ll, diag, carries = (
+        ps.smooth_parallel(
+            ll, tlat, tdyn, p_init, likelihood_scale,
+            uniform_rows=trans.uniform_rows, marginal=marginal_smooth,
+            want_post=want_post, config=cfg, warm_start=scan_carry_in,
+            fast=scan_fast, tol=1e-4 if scan_fast else 1e-6,
+            want_carry=want_scan_carry,
+        )
     )  # NOTE: the ll buffer is donated into the call; the returned ll is
     #   the pass-through (None unless want_post)
 
@@ -947,7 +993,14 @@ def _smooth_parallel_driver(
     )
     acc_log = prob_to_log(acc if is_joint else acc[0, 0])
     ll_all = ll if want_post else None
-    return smooth_all, log_marginal, post_all, ratios, acc_log, ll_all
+    out = (smooth_all, log_marginal, post_all, ratios, acc_log, ll_all)
+    if want_scan_carry:
+        # (fwd, bwd, drift, diagnostics) for warm-starting the next
+        # same-shape solve — e.g. the next EM iteration's fixed points.
+        # diagnostics = (fwd_passes, bwd_passes, emit_delta_f, emit_delta_b)
+        return out + ((carries[0], carries[1], carries[2],
+                       (diag[0], diag[1], diag[4], diag[5])),)
+    return out
 
 
 def _smooth_chunked_checkpoint(

@@ -572,12 +572,14 @@ def _chunk_to_flat(x_c, tc_eff, T):
     jax.jit,
     static_argnames=["C", "block_t", "block_t_bwd", "tc_eff", "T",
                      "uniform_rows", "marginal", "want_post", "max_passes",
-                     "tol"],
+                     "tol", "fast", "want_carry", "has_ws"],
     donate_argnums=(0,),  # ll (2 GB at north-star) — returned when want_post
 )
-def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale, *,
+def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale,
+                         fwd_ws, bwd_ws, ws_pred, ws_valid, *,
                          C, block_t, block_t_bwd, tc_eff, T, uniform_rows,
-                         marginal, want_post, max_passes, tol):
+                         marginal, want_post, max_passes, tol, fast,
+                         want_carry, has_ws):
     n_dyn, L = tlat.shape[0], tlat.shape[-1]
     Lp = _round_up(L, LANE)
     Tcp = _round_up(tc_eff, max(block_t, block_t_bwd))
@@ -606,11 +608,49 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale, *,
     ins0 = jnp.broadcast_to(
         uniform_p[:, None, :], (n_dyn, C, Lp)
     ).at[:, 0].set(init_p)
+    # warm start (has_ws static, ws_valid a traced bool): seed the boundary
+    # carries from a previous converged solve — e.g. the prior EM
+    # iteration's, where the tuning (hence the carries) moved only
+    # slightly.  Chunk 0's input stays the exact initial carry, and the
+    # convergence certificate (delta <= tol) is enforced regardless of the
+    # seed, so exactness is unaffected; only the pass count changes.
+    # STATICALLY absent when no seed is supplied: standalone strict solves
+    # must compile to the round-2 graph bit-for-bit (see the memory notes
+    # below).
+    if has_ws:
+        ins0 = jnp.where(ws_valid, fwd_ws, ins0).at[:, 0].set(init_p)
 
     fwd = functools.partial(
         _pfilter_pass, C=C, block_t=block_t, tc_eff=tc_eff, n_valid=T,
         uniform_rows=uniform_rows,
     )
+
+    # ``fast`` (fused-EM path): exit on the PREDICTED RESIDUAL instead of
+    # the raw movement.  The fixed point contracts by a factor lam per
+    # pass (a mixing property of the transition/emission structure, stable
+    # across EM iterations); the residual after a pass that moved the
+    # carries by delta is ~lam*delta, so once lam is known from the
+    # PREVIOUS solve (its emit pass's measured residual / its measured
+    # drift) the loop can stop after ONE pass where the raw-movement test
+    # needed two (movement ~ drift ~ 1e-2/iter even late in EM, while
+    # lam ~ 1e-6 at typical mixing).  The entry test compares 4x the
+    # previous drift against tol: a seed already within tol/4 skips every
+    # finals pass and the emit runs straight from it.  Every fast solve is
+    # certified post-hoc: the emit pass's own finals measure the ACTUAL
+    # residual |F(ins_used)-ins_used| (diag[4:6]), bulk-checked by the
+    # fit_em driver.  Strict mode keeps the round-2 raw-movement test and
+    # peeled first pass exactly.
+    if fast and has_ws:
+        lam_f = jnp.where(
+            ws_valid,
+            jnp.clip(ws_pred[2] / jnp.maximum(ws_pred[0], 1e-30),
+                     1e-12, 1.0),
+            jnp.float32(1.0),
+        )
+        pred_f = jnp.where(ws_valid, 4.0 * ws_pred[0] / lam_f, jnp.inf)
+    else:
+        lam_f = jnp.float32(1.0)
+        pred_f = jnp.array(jnp.inf, jnp.float32)
 
     def fwd_body(state):
         ins, _delta, k = state
@@ -619,41 +659,97 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale, *,
         delta = jnp.max(jnp.abs(new_ins - ins))
         return new_ins, delta, k + 1
 
-    def fwd_cond(state):
-        _, delta, k = state
-        return jnp.logical_and(delta > tol, k < max_passes)
+    if fast and has_ws:
+        def fwd_cond(state):
+            _, delta, k = state
+            return jnp.logical_and(delta * lam_f > tol, k < max_passes)
+    else:
+        def fwd_cond(state):
+            _, delta, k = state
+            return jnp.logical_and(delta > tol, k < max_passes)
 
-    fstate = fwd_body(
-        (ins0, jnp.array(jnp.inf, jnp.float32), jnp.array(0, jnp.int32))
-    )
+    # NOTE: the loop state stays EXACTLY (ins, delta, k) — the drift
+    # predictor is derived outside the loop from (seed, converged carries).
+    # Adding a 4th scalar element to this carry changed XLA's wide-loop
+    # buffer sinking and cost +4 GB of temp arena at north-star.  Likewise
+    # the strict path keeps the round-2 peeled-first-pass structure (one
+    # body inlined before the loop) — part of the proven-6.17-GB graph;
+    # the warm-started variant cannot peel (the seed may already satisfy
+    # the predicted-drift exit test, i.e. zero passes).
+    if has_ws or fast:
+        fstate = (ins0, pred_f, jnp.array(0, jnp.int32))
+    else:
+        fstate = fwd_body(
+            (ins0, jnp.array(jnp.inf, jnp.float32), jnp.array(0, jnp.int32))
+        )
     ins_used, fwd_delta, fwd_passes = lax.while_loop(
         fwd_cond, fwd_body, fstate
     )
     # the emit pass stores the per-step normalizers (the exact values used
     # in the recursion) alongside the posteriors — no reconstruction sweep
-    post_c, svals, _fin = fwd(w_c, tlat_p, tdyn, ins_used, finals_only=False)
-
+    post_c, svals, fin_emit = fwd(
+        w_c, tlat_p, tdyn, ins_used, finals_only=False
+    )
     ratios = (
         jnp.log(jnp.transpose(svals)[:, :tc_eff].reshape(-1)[:T])
         + likelihood_scale * m
     )
     log_marginal = jnp.sum(ratios)
 
-    # peak-memory control (not semantics): force the normalizer
-    # reconstruction — the last consumer of the 2 GB w_c — to complete
-    # before the backward phase starts, so w_c's buffer is dead while the
-    # smoother outputs are live
-    post_c, ratios, log_marginal = lax.optimization_barrier(
-        (post_c, ratios, log_marginal)
-    )
-
-    # ---- backward fixed point (finals-only loop + one emitting pass) ----
     c_star = (T - 1) // tc_eff
     r_star = (T - 1) % tc_eff
-    post_T1 = post_c[r_star, :, c_star, :]  # (n_dyn, Lp), exact
+    # MEMORY DISCIPLINE — two statically-gated tails.  XLA's TPU scheduler
+    # and buffer packer are chaotically sensitive to which values survive
+    # to the return here: exporting ANY backward-phase (n_dyn, C, Lp)
+    # tensor from this program — or even computing-but-not-exporting some
+    # combinations — was measured to inflate the temp arena by +2 to +4 GB
+    # at north-star shapes (T=1e6, L=500), which OOMs the chip.  So:
+    #  * want_carry=False (standalone strict solves: host EM iterations,
+    #    decode) reproduces the round-2 graph EXACTLY — post_T1 sliced
+    #    from post_c, the original 3-tuple phase barrier, no carry or
+    #    certificate computations.  Measured 6.17 GB temp at north-star.
+    #  * want_carry=True (inside the fused EM scan, where the carries ride
+    #    the scan state rather than program outputs) computes the fresh
+    #    boundary carries, drift predictors and post-hoc certificates,
+    #    and reads post_T1 from the emit finals (fin_emit[:, c_star] ==
+    #    post_c[r_star, :, c_star]: rows past n_valid are carry no-ops)
+    #    so no late post_c slice pins the 4 GB filter store.
+    if want_carry:
+        emit_ins_f = jnp.concatenate(
+            [ins_used[:, :1], fin_emit[:, :-1]], axis=1
+        )
+        emit_delta_f = jnp.max(jnp.abs(emit_ins_f - ins_used))
+        # drift = how far the converged carries moved from the seed — the
+        # predictor for the NEXT same-shape solve's movement (consecutive
+        # EM iterations drift comparably, decaying as EM settles).  For a
+        # skipped-loop fast solve (fwd_passes == 0) this equals the emit
+        # pass's own residual, i.e. the true one-pass movement.
+        fwd_drift = jnp.max(jnp.abs(emit_ins_f - ins0))
+        post_T1 = fin_emit[:, c_star, :]  # (n_dyn, Lp), exact
+        # the phase barrier (see below) additionally pins the small
+        # post-emit values here so they don't keep forward-emit buffers
+        # alive through the backward phase
+        (post_c, ratios, log_marginal, post_T1, emit_ins_f, emit_delta_f,
+         fwd_drift) = lax.optimization_barrier(
+            (post_c, ratios, log_marginal, post_T1, emit_ins_f,
+             emit_delta_f, fwd_drift)
+        )
+    else:
+        # peak-memory control (not semantics): force the normalizer
+        # reconstruction — the last consumer of the 2 GB w_c — to complete
+        # before the backward phase starts, so w_c's buffer is dead while
+        # the smoother outputs are live
+        post_c, ratios, log_marginal = lax.optimization_barrier(
+            (post_c, ratios, log_marginal)
+        )
+        post_T1 = post_c[r_star, :, c_star, :]  # (n_dyn, Lp), exact
+
+    # ---- backward fixed point (finals-only loop + one emitting pass) ----
     guess = jnp.concatenate(
         [post_c[0][:, 1:, :], post_T1[:, None, :]], axis=1
     )
+    if has_ws:
+        guess = jnp.where(ws_valid, bwd_ws, guess)
     guess = guess.at[:, c_star:, :].set(post_T1[:, None, :])
 
     bwd = functools.partial(
@@ -667,6 +763,19 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale, *,
         )
         return new_ins.at[:, c_star:, :].set(post_T1[:, None, :])
 
+    # fast mode: predicted-residual exit, see the forward loop's comment
+    if fast and has_ws:
+        lam_b = jnp.where(
+            ws_valid,
+            jnp.clip(ws_pred[3] / jnp.maximum(ws_pred[1], 1e-30),
+                     1e-12, 1.0),
+            jnp.float32(1.0),
+        )
+        pred_b = jnp.where(ws_valid, 4.0 * ws_pred[1] / lam_b, jnp.inf)
+    else:
+        lam_b = jnp.float32(1.0)
+        pred_b = jnp.array(jnp.inf, jnp.float32)
+
     def bwd_body(state):
         ins, _delta, k = state
         (fin,) = bwd(post_c, tlat_p, tlatT_p, tdyn, ins,
@@ -675,28 +784,59 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale, *,
         delta = jnp.max(jnp.abs(new_ins - ins))
         return new_ins, delta, k + 1
 
-    def bwd_cond(state):
-        _, delta, k = state
-        return jnp.logical_and(delta > tol, k < max_passes)
+    if fast and has_ws:
+        def bwd_cond(state):
+            _, delta, k = state
+            return jnp.logical_and(delta * lam_b > tol, k < max_passes)
+    else:
+        def bwd_cond(state):
+            _, delta, k = state
+            return jnp.logical_and(delta > tol, k < max_passes)
 
-    bstate = bwd_body(
-        (guess, jnp.array(jnp.inf, jnp.float32), jnp.array(0, jnp.int32))
-    )
+    # loop state stays (ins, delta, k), strict path peels the first pass —
+    # see the forward loop's note
+    if has_ws or fast:
+        bstate = (guess, pred_b, jnp.array(0, jnp.int32))
+    else:
+        bstate = bwd_body(
+            (guess, jnp.array(jnp.inf, jnp.float32),
+             jnp.array(0, jnp.int32))
+        )
     ins_bwd, bwd_delta, bwd_passes = lax.while_loop(
         bwd_cond, bwd_body, bstate
     )
     emit = bwd(post_c, tlat_p, tlatT_p, tdyn, ins_bwd,
                block_t=block_t_bwd, finals_only=False)
     if marginal:
-        out_c, dynm_c, acc_raw, _ = emit
+        out_c, dynm_c, acc_raw, fin_b = emit
     else:
-        out_c, r_c, _ = emit
+        out_c, r_c, fin_b = emit
         dynm_c = None
         # moderate-T mode: the pairwise-joint contraction over (t, c) runs
         # outside the kernel (invalid rows carry r == 0)
         acc_raw = jnp.einsum(
             "tdci,tecj->deij", post_c, r_c, precision=PRECISION
         )
+    if want_carry:
+        emit_ins_b = bwd_shift(fin_b)
+        emit_delta_b = jnp.max(jnp.abs(emit_ins_b - ins_bwd))
+        bwd_drift = jnp.max(jnp.abs(emit_ins_b - guess))
+
+        # peak-memory control: same as the mid barrier — bind the output
+        # flattening to the (small) carry/certificate computations so
+        # fin_b / ins_bwd die with the backward emit instead of living to
+        # the return
+        if dynm_c is None:
+            (out_c, acc_raw, emit_ins_b, emit_delta_b,
+             bwd_drift) = lax.optimization_barrier(
+                (out_c, acc_raw, emit_ins_b, emit_delta_b, bwd_drift)
+            )
+        else:
+            (out_c, dynm_c, acc_raw, emit_ins_b, emit_delta_b,
+             bwd_drift) = lax.optimization_barrier(
+                (out_c, dynm_c, acc_raw, emit_ins_b, emit_delta_b,
+                 bwd_drift)
+            )
 
     acc = acc_raw[:, :, :L, :L] * tdyn[:, :, None, None] \
         * tlat[None, :, :, :]
@@ -712,25 +852,81 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale, *,
         _chunk_to_flat(post_c, tc_eff, T)[:, :, :L] if want_post else None
     )
     ll_out = ll if want_post else None  # pass the donated buffer back out
+    # diag is a 4-tuple on the strict standalone path (identical to the
+    # round-2 program outputs) and grows the emit-pass post-hoc residuals
+    # only when the carries are requested
     diag = (fwd_passes, bwd_passes, fwd_delta, bwd_delta)
-    return smooth_out, log_marginal, post_out, ratios, acc, ll_out, diag
+    if want_carry:
+        diag = diag + (emit_delta_f, emit_delta_b)
+    # Freshest boundary carries + measured drift, returned so the next
+    # same-shape solve (e.g. the next EM iteration) can warm-start its
+    # fixed points and predict whether any finals-only pass is needed.
+    # STATIC-GATED: exporting any backward-phase (n_dyn, C, Lp) tensor as a
+    # program output inflates XLA's temp arena by the full 4 GB post_c
+    # allocation at north-star shapes (measured; scalar outputs are free,
+    # and the same values as lax.scan carries inside the fused EM program
+    # are also free) — so standalone strict solves, which run at
+    # near-HBM-capacity scales and never consume the carries, must not
+    # pay for them.
+    # pred vector = [drift_f, drift_b, emit_resid_f, emit_resid_b]: the
+    # next same-shape fast solve derives its contraction estimate
+    # lam = resid/drift and its entry test from these
+    carries = (
+        (emit_ins_f, emit_ins_b,
+         jnp.stack([fwd_drift, bwd_drift, emit_delta_f, emit_delta_b]))
+        if want_carry else None
+    )
+    return smooth_out, log_marginal, post_out, ratios, acc, ll_out, diag, \
+        carries
+
+
+def carry_spec(T, L, n_dyn, config=None):
+    """Shape of the warm-start boundary-carry arrays for this problem:
+    (n_dyn, C, Lp), or None when the parallel engine does not apply."""
+    if config is None:
+        config = choose_parallel_config(T, L, n_dyn)
+    if config is None:
+        return None
+    return (max(1, n_dyn), config[0], _round_up(L, LANE))
 
 
 def smooth_parallel(ll, tlat, tdyn, p_init, likelihood_scale, *,
                     uniform_rows, marginal=False, want_post=False,
-                    config=None, max_passes=None, tol=1e-6):
+                    config=None, max_passes=None, tol=1e-6,
+                    warm_start=None, fast=False, want_carry=False):
     """Fixed-point parallel-in-time forward-backward smoother.
 
     ll: (T, L) log-likelihood; tlat: (n_dyn, L, L); tdyn: (n_dyn, n_dyn);
     p_init: (n_dyn, L) probability-space initial carry.
 
-    Returns (smooth, log_marginal, post, ratios, acc, ll, diag) in
+    Returns (smooth, log_marginal, post, ratios, acc, ll, diag, carries) in
     PROBABILITY space, where smooth is (T, n_dyn, L) or the (latent_marg
     (T, L), dyn_marg (T, n_dyn)) pair when ``marginal``, acc is the
     accumulated pairwise joint (n_dyn, n_dyn, L, L), ll echoes the (donated)
-    input log-likelihood when ``want_post`` (None otherwise), and diag
-    carries the pass counts and final deltas of the two fixed-point
-    iterations.  NOTE: the caller's ``ll`` buffer is DONATED."""
+    input log-likelihood when ``want_post`` (None otherwise), diag =
+    (fwd_passes, bwd_passes, fwd_delta, bwd_delta) — extended with
+    (emit_delta_f, emit_delta_b), the emit passes' post-hoc residuals, when
+    ``want_carry`` — and carries = (fwd, bwd, pred(4,)) — the
+    freshest boundary carries ((n_dyn, C, Lp) each, see :func:`carry_spec`)
+    plus pred = [drift_f, drift_b, emit_resid_f, emit_resid_b], the
+    measured per-direction fixed-point movement and emit residual — when
+    ``want_carry``, else None (request them ONLY from inside a larger
+    program, e.g. the fused EM scan: as standalone program outputs they
+    cost +4 GB of XLA temp arena at north-star shapes, see the gate's
+    comment in :func:`_smooth_parallel_jit`).
+
+    ``warm_start``: optional ``(fwd, bwd, pred, valid)`` — the ``carries``
+    of a previous same-shape solve (e.g. the prior EM iteration) plus a
+    traced bool.  In strict mode (``fast=False``, the default) a warm seed
+    still passes the full pre-emit delta <= tol certificate.  With
+    ``fast=True`` the loop exits on the PREDICTED residual lam*delta
+    (lam = previous emit residual / previous drift, the measured per-pass
+    contraction) — typically ONE finals pass + the emit pass per
+    direction — and a seed whose predicted error 4*drift is already <= tol
+    skips every finals pass, the emit running straight from it.  Every
+    fast solve is certified post-hoc by the emit pass's own residual
+    (diag[4:6]), which the caller must check in bulk.  NOTE: the caller's
+    ``ll`` buffer is DONATED."""
     T, L = ll.shape
     n_dyn = tlat.shape[0]
     if config is None:
@@ -743,13 +939,28 @@ def smooth_parallel(ll, tlat, tdyn, p_init, likelihood_scale, *,
     tc_eff = -(-T // C)
     if max_passes is None:
         max_passes = C
+    has_ws = warm_start is not None
+    if not has_ws:
+        # statically absent: tiny dummies keep the jit signature stable
+        # while the traced program contains no warm-start ops at all
+        warm_start = (
+            jnp.zeros((1, 1, 1), jnp.float32),
+            jnp.zeros((1, 1, 1), jnp.float32),
+            jnp.full((4,), jnp.inf, jnp.float32), jnp.array(False),
+        )
+    fwd_ws, bwd_ws, ws_pred, ws_valid = warm_start
     return _smooth_parallel_jit(
         jnp.asarray(ll, dtype=jnp.float32),
         jnp.asarray(tlat, dtype=jnp.float32),
         jnp.asarray(tdyn, dtype=jnp.float32),
         jnp.asarray(p_init, dtype=jnp.float32),
         likelihood_scale,
+        jnp.asarray(fwd_ws, dtype=jnp.float32),
+        jnp.asarray(bwd_ws, dtype=jnp.float32),
+        jnp.asarray(ws_pred, dtype=jnp.float32),
+        ws_valid,
         C=C, block_t=bt_f, block_t_bwd=bt_b, tc_eff=tc_eff, T=T,
         uniform_rows=tuple(uniform_rows), marginal=marginal,
         want_post=want_post, max_passes=int(max_passes), tol=float(tol),
+        fast=bool(fast), want_carry=bool(want_carry), has_ws=has_ws,
     )

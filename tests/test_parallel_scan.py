@@ -201,3 +201,94 @@ def test_parallel_fit_em_end_to_end():
         d_par["posterior_latent_marg"], d_ref["posterior_latent_marg"],
         atol=1e-2,
     )
+
+
+def test_parallel_warm_start_exact_and_fewer_passes():
+    """Warm-starting the fixed points from a previous converged solve (the
+    next EM iteration's situation: slightly drifted tuning) returns the
+    SAME answer with <= as many passes, and typically 1 pass/direction
+    (VERDICT round-2 next #3)."""
+    T = 997
+    rng = np.random.default_rng(3)
+    y = rng.poisson(1.5, size=(T, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    trans = _joint_trans()
+
+    cold = _run(y, tuning, trans, "pallas_parallel", want_scan_carry=True)
+    fwd_c, bwd_c, drift_c, (fp_cold, bp_cold, _ef, _eb) = cold[6]
+
+    # slight tuning drift (one M-step's worth)
+    tuning2 = tuning * np.float32(1.02)
+    ref2 = _run(y, tuning2, trans, "prob")
+    warm = _run(
+        y, tuning2, trans, "pallas_parallel", want_scan_carry=True,
+        scan_carry_in=(fwd_c, bwd_c, drift_c, jnp.array(True)),
+    )
+    _assert_match(ref2, warm)
+    fp_warm, bp_warm = warm[6][3][:2]
+    assert int(fp_warm) <= int(fp_cold)
+    assert int(bp_warm) <= int(bp_cold)
+    # re-solving the SAME problem warm must settle in a single pass
+    rewarm = _run(
+        y, tuning2, trans, "pallas_parallel", want_scan_carry=True,
+        scan_carry_in=(warm[6][0], warm[6][1], warm[6][2], jnp.array(True)),
+    )
+    _assert_match(_run(y, tuning2, trans, "prob"), rewarm)
+    fp_re, bp_re = rewarm[6][3][:2]
+    assert int(fp_re) == 1 and int(bp_re) == 1
+    # fast mode: once the measured drift has settled (one fast solve on a
+    # converged seed), the NEXT fast solve skips every finals-only pass —
+    # the emit runs straight from the seed, certified post-hoc by the emit
+    # residual
+    fast1 = _run(
+        y, tuning2, trans, "pallas_parallel", want_scan_carry=True,
+        scan_fast=True,
+        scan_carry_in=(warm[6][0], warm[6][1], warm[6][2], jnp.array(True)),
+    )
+    _assert_match(_run(y, tuning2, trans, "prob"), fast1)
+    fast2 = _run(
+        y, tuning2, trans, "pallas_parallel", want_scan_carry=True,
+        scan_fast=True,
+        scan_carry_in=(
+            fast1[6][0], fast1[6][1], fast1[6][2], jnp.array(True)
+        ),
+    )
+    _assert_match(_run(y, tuning2, trans, "prob"), fast2)
+    fp_f, bp_f, ef, eb = fast2[6][3]
+    assert int(fp_f) == 0 and int(bp_f) == 0
+    assert float(ef) < 1e-4 and float(eb) < 1e-4
+
+
+def test_want_scan_carry_requires_parallel_engine():
+    rng = np.random.default_rng(0)
+    y = rng.poisson(1.0, size=(100, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    with pytest.raises(ValueError, match="want_scan_carry"):
+        _run(y, tuning, _joint_trans(), "prob", want_scan_carry=True)
+
+
+def test_fused_fit_em_warm_start_matches_loop():
+    """The fused EM fast path with warm-started fixed points is numerically
+    equal to the unfused host loop with the same engine."""
+    import jax.random as jr
+
+    import poor_man_gplvm_tpu as pmg
+
+    T = 700
+    kw = dict(n_latent_bin=9, movement_variance=1.0, tuning_lengthscale=3.0)
+    m_a = pmg.PoissonGPLVMJump1D(5, inference_engine="pallas_parallel", **kw)
+    _, spk = m_a.sample(T)
+    em_kw = dict(key=jr.PRNGKey(0), n_iter=6, verboase=False,
+                 m_step_maxiter=15)
+    em_fused = m_a.fit_em(spk, fused=True, **em_kw)
+    m_b = pmg.PoissonGPLVMJump1D(5, inference_engine="pallas_parallel", **kw)
+    em_loop = m_b.fit_em(spk, fused=False, **em_kw)
+    np.testing.assert_allclose(
+        np.asarray(em_fused["log_marginal_l"]),
+        np.asarray(em_loop["log_marginal_l"]), rtol=1e-5,
+    )
+    # the warm-start pass diagnostic was recorded for the fused segment
+    passes = getattr(m_a, "_scan_passes_mid", None)
+    assert passes is not None and passes.shape == (4, 2)
+    # middle iterations should settle fast (tuning drift is small)
+    assert passes[1:].max() <= passes[0].max()
