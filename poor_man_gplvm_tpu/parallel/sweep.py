@@ -41,7 +41,12 @@ from poor_man_gplvm_tpu.ops.hmm import (
     prob_to_log,
 )
 
-__all__ = ["expand_grid", "sweep_fit_poisson_jump"]
+__all__ = [
+    "expand_grid",
+    "sweep_fit_poisson_jump",
+    "sweep_fit_model_class",
+    "sweep_eval_model_class",
+]
 
 
 def expand_grid(hyperparam_ranges, n_repeat=1, defaults=None):
@@ -292,3 +297,435 @@ def sweep_fit_poisson_jump(
     results["chain_index"] = chain_index
     results["grid"] = grid
     return results
+
+
+# ---------------------------------------------------------------------------
+# model-class-exact batched fit + evaluation (the model_selection backend)
+#
+# Unlike `sweep_fit_poisson_jump` (a standalone throughput API with its own
+# simplified init), these reproduce the MODEL CLASSES' math and RNG
+# consumption exactly — same ctor params init (initialize_params), same
+# family-specific posterior init (reference core.py:241-250 vs :571-583),
+# same while-loop Adam (fth.make_adam_runner) with opt-state threading, same
+# prob-engine scans — so `model_selection_one_split(backend='batched')`
+# returns the same results DataFrame as the serial loop
+# (reference model_selection_helper.py:145-239), one compiled program per
+# (n_latent_bin, n_basis) bucket instead of one serial fit per config.
+# ---------------------------------------------------------------------------
+
+from poor_man_gplvm_tpu.ops.hmm import LatentTransition  # noqa: E402
+
+_SWEEPABLE_CTOR_KEYS = frozenset({
+    "n_latent_bin", "tuning_lengthscale", "movement_variance",
+    "p_move_to_jump", "p_jump_to_move", "param_prior_std", "noise_std",
+    "explained_variance_threshold_basis",
+})
+
+
+def _family(model_class_str):
+    is_jump = "latentonly" not in model_class_str
+    is_poisson = model_class_str.startswith("poisson")
+    return is_jump, is_poisson
+
+
+def _config_defaults(model_class_str):
+    """Model-class ctor defaults for the sweepable numeric hyperparameters
+    (models/jump1d.py:45-63, models/latent1d.py:41-55)."""
+    is_jump, is_poisson = _family(model_class_str)
+    d = {
+        "n_latent_bin": 100,
+        "tuning_lengthscale": 1.0 if is_jump else 5.0,
+        "movement_variance": 1.0,
+        "param_prior_std": 1.0,
+        "explained_variance_threshold_basis": 0.999,
+    }
+    if is_jump:
+        d.update(p_move_to_jump=0.01, p_jump_to_move=0.01)
+    if not is_poisson:
+        d["noise_std"] = 0.5
+    return d
+
+
+def _make_trans(model_class_str, hp, n_latent_bin):
+    is_jump, _ = _family(model_class_str)
+    if is_jump:
+        _, log_lat_l, _, log_dyn = gpk.create_transition_prob_1d(
+            jnp.arange(n_latent_bin), jnp.arange(2),
+            hp["movement_variance"], hp["p_move_to_jump"],
+            hp["p_jump_to_move"],
+        )
+        return JointTransition(
+            jnp.exp(log_dyn), jnp.exp(log_lat_l), log_dyn, log_lat_l
+        )
+    lat, log_lat = gpk.create_transition_prob_latent_1d(
+        jnp.arange(n_latent_bin), hp["movement_variance"]
+    )
+    return LatentTransition(lat, log_lat)
+
+
+def _mstep_hyper(model_class_str, hp):
+    _, is_poisson = _family(model_class_str)
+    hyper = {"param_prior_std": hp["param_prior_std"],
+             "smoothness_penalty": jnp.float32(0.0)}
+    if not is_poisson:
+        hyper["noise_std"] = hp["noise_std"]
+    return hyper
+
+
+def _single_run_em_modelclass(
+    y, basis, params0, hp, key_em, *, model_class_str, n_iter, n_latent_bin,
+    m_step_size, m_maxiter, m_tol, likelihood_scale, random_scale,
+):
+    """One (config, chain) EM run, numerically matching
+    ``model_class(**config).fit_em(y, key=key_em, ...)`` with the prob
+    engine at a single chunk (chunking is exact, so chunked serial runs
+    agree too)."""
+    from poor_man_gplvm_tpu.models.jump1d import _init_posterior_random
+    from poor_man_gplvm_tpu.models.latent1d import (
+        _init_posterior_uniform_noise,
+    )
+
+    is_jump, is_poisson = _family(model_class_str)
+    T = y.shape[0]
+    trans = _make_trans(model_class_str, hp, n_latent_bin)
+    hyper = _mstep_hyper(model_class_str, hp)
+
+    if is_jump:
+        log_post, _ = _init_posterior_random(
+            T, n_latent_bin, key_em, random_scale
+        )
+    else:
+        log_post, _ = _init_posterior_uniform_noise(
+            T, n_latent_bin, key_em, random_scale
+        )
+
+    if is_poisson:
+        run, opt_init = fth.make_adam_runner(
+            fth.poisson_m_step_objective, m_step_size, maxiter=m_maxiter,
+            tol=m_tol,
+        )
+        opt_state0 = opt_init(params0)
+    else:
+        opt_state0 = ()
+
+    def em_iter(carry, _):
+        params, opt_state, log_post = carry
+        y_w, t_w = fth.get_statistics(log_post, y)
+        if is_poisson:
+            res = run(params, opt_state, hyper, basis, y_w, t_w)
+            params, opt_state = res["params"], res["opt_state"]
+            final_loss = res["final_loss"]
+            tuning = fth.get_tuning_softplus(params, basis)
+        else:
+            params = fth.gaussian_m_step_analytic(hyper, basis, y_w, t_w)
+            final_loss = jnp.float32(0.0)
+            tuning = fth.get_tuning_linear(params, basis)
+
+        ll = get_loglikelihood_ma_all(
+            y, tuning, hyper, jnp.ones_like(y), jnp.ones(n_latent_bin),
+            observation_model="poisson" if is_poisson else "gaussian",
+        )
+        carry0 = (
+            jnp.exp(trans.uniform_log_init()),
+            jnp.array(0.0, dtype=jnp.float32),
+        )
+        post_f, prior_f, _r, (_p, lml) = _forward_scan_prob(
+            ll, trans, carry0, likelihood_scale
+        )
+        smooth, _acc = _backward_scan_prob(
+            post_f[:-1], prior_f[1:], trans, post_f[-1]
+        )
+        smooth_full = jnp.concatenate([smooth, post_f[-1][None]], axis=0)
+        marg = smooth_full.sum(axis=1) if is_jump else smooth_full
+        return (params, opt_state, prob_to_log(marg)), (lml, final_loss)
+
+    (params, _, log_post), (lml_l, loss_l) = lax.scan(
+        em_iter, (params0, opt_state0, log_post), None, length=n_iter
+    )
+    tuning = (
+        fth.get_tuning_softplus(params, basis) if is_poisson
+        else fth.get_tuning_linear(params, basis)
+    )
+    return {
+        "params": params, "tuning": tuning, "log_marginal_l": lml_l,
+        "m_step_final_loss_l": loss_l,
+    }
+
+
+@lru_cache(maxsize=64)
+def _batched_modelclass_program(model_class_str, hp_keys, n_iter,
+                                n_latent_bin, m_step_size, m_maxiter, m_tol,
+                                likelihood_scale, random_scale):
+    run = partial(
+        _single_run_em_modelclass,
+        model_class_str=model_class_str, n_iter=n_iter,
+        n_latent_bin=n_latent_bin, m_step_size=m_step_size,
+        m_maxiter=m_maxiter, m_tol=m_tol,
+        likelihood_scale=likelihood_scale, random_scale=random_scale,
+    )
+
+    def one(y, basis, params0, hp_tuple, key):
+        return run(y, basis, params0, dict(zip(hp_keys, hp_tuple)), key)
+
+    return jax.jit(jax.vmap(one, in_axes=(None, None, None, 0, 0)))
+
+
+def sweep_fit_model_class(
+    y, config_l, key_l, model_class_str, n_iter=20, likelihood_scale=1.0,
+    random_scale=0.1, m_step_size=0.01, m_maxiter=1000, m_tol=1e-6,
+):
+    """Fit every (config, chain) run of a model class as bucketed vmapped
+    programs, numerically matching the serial
+    ``fit_model_one_config`` path (reference model_selection_helper.py:35-60).
+
+    ``config_l``: one ctor-kwargs dict PER RUN (configs repeated per chain);
+    ``key_l``: one fit_em PRNG key per run.  Buckets runs by
+    (n_latent_bin, n_basis) — shape-changing hyperparameters cost one
+    compile per distinct shape, not one fit per config.
+
+    Returns a list of per-run dicts (params/tuning/log_marginal_l/...)."""
+    from poor_man_gplvm_tpu.ops.basis import generate_basis
+
+    y = jnp.asarray(y, dtype=jnp.float32)
+    n_neuron = y.shape[1]
+    B = len(config_l)
+    defaults = _config_defaults(model_class_str)
+    for cfg in config_l:
+        unsupported = set(cfg) - _SWEEPABLE_CTOR_KEYS
+        if unsupported:
+            raise ValueError(
+                f"batched sweep cannot handle ctor kwargs {sorted(unsupported)}"
+            )
+
+    full_cfg = [{**defaults, **cfg} for cfg in config_l]
+    # host-side static basis + ctor params init per distinct shape config
+    bases = {}
+    for cfg in full_cfg:
+        bk = (cfg["tuning_lengthscale"], cfg["n_latent_bin"],
+              cfg["explained_variance_threshold_basis"])
+        if bk not in bases:
+            bases[bk] = generate_basis(
+                bk[0], bk[1], bk[2], include_bias=True
+            )
+    params0 = {}
+    for cfg in full_cfg:
+        bk = (cfg["tuning_lengthscale"], cfg["n_latent_bin"],
+              cfg["explained_variance_threshold_basis"])
+        nb = bases[bk].shape[1]
+        pk = (nb,)
+        if pk not in params0:
+            # ctor initialize_params semantics (models/base.py:138-149,
+            # rng_init_int=123, w_init_variance=1, w_init_mean=0)
+            params0[pk] = jax.random.normal(
+                jr.PRNGKey(123), (nb, n_neuron)
+            )
+
+    buckets = {}
+    for i, cfg in enumerate(full_cfg):
+        bk = (cfg["tuning_lengthscale"], cfg["n_latent_bin"],
+              cfg["explained_variance_threshold_basis"])
+        nb = bases[bk].shape[1]
+        buckets.setdefault((cfg["n_latent_bin"], nb), []).append(i)
+
+    hp_names = sorted(
+        k for k in defaults
+        if k not in ("n_latent_bin", "tuning_lengthscale",
+                     "explained_variance_threshold_basis")
+    )
+    per_run = [None] * B
+    for (L, nb), idxs in sorted(buckets.items()):
+        cfg0 = full_cfg[idxs[0]]
+        bk0 = (cfg0["tuning_lengthscale"], cfg0["n_latent_bin"],
+               cfg0["explained_variance_threshold_basis"])
+        # within a bucket the basis may still differ by lengthscale if two
+        # lengthscales share a rank — then the basis must ride the batch
+        bks = [
+            (full_cfg[i]["tuning_lengthscale"], full_cfg[i]["n_latent_bin"],
+             full_cfg[i]["explained_variance_threshold_basis"])
+            for i in idxs
+        ]
+        same_basis = all(b == bk0 for b in bks)
+        hp_stack = tuple(
+            jnp.asarray([full_cfg[i][k] for i in idxs], dtype=jnp.float32)
+            for k in hp_names
+        )
+        keys_stack = jnp.stack([key_l[i] for i in idxs])
+        prog = _batched_modelclass_program(
+            model_class_str, tuple(hp_names), n_iter, L, m_step_size,
+            m_maxiter, m_tol, likelihood_scale, random_scale,
+        )
+        if same_basis:
+            res = prog(y, bases[bk0], params0[(nb,)], hp_stack, keys_stack)
+        else:
+            basis_stack = jnp.stack([bases[b] for b in bks])
+            prog_b = _batched_modelclass_program_batched_basis(
+                model_class_str, tuple(hp_names), n_iter, L, m_step_size,
+                m_maxiter, m_tol, likelihood_scale, random_scale,
+            )
+            res = prog_b(
+                y, basis_stack, params0[(nb,)], hp_stack, keys_stack
+            )
+        for j, i in enumerate(idxs):
+            per_run[i] = {k: v[j] for k, v in res.items()}
+    return per_run
+
+
+@lru_cache(maxsize=64)
+def _batched_modelclass_program_batched_basis(
+    model_class_str, hp_keys, n_iter, n_latent_bin, m_step_size, m_maxiter,
+    m_tol, likelihood_scale, random_scale,
+):
+    run = partial(
+        _single_run_em_modelclass,
+        model_class_str=model_class_str, n_iter=n_iter,
+        n_latent_bin=n_latent_bin, m_step_size=m_step_size,
+        m_maxiter=m_maxiter, m_tol=m_tol,
+        likelihood_scale=likelihood_scale, random_scale=random_scale,
+    )
+
+    def one(y, basis, params0, hp_tuple, key):
+        return run(y, basis, params0, dict(zip(hp_keys, hp_tuple)), key)
+
+    return jax.jit(jax.vmap(one, in_axes=(None, 0, None, 0, 0)))
+
+
+def _emission_hyper(model_class_str, hp):
+    _, is_poisson = _family(model_class_str)
+    return {} if is_poisson else {"noise_std": hp["noise_std"]}
+
+
+def _single_decode_metrics(y_test, tuning, hp, *, model_class_str,
+                           n_latent_bin, likelihood_scale):
+    """Full decode of one chain reduced to the model-selection metrics:
+    (log_marginal_final, one-step predictive ratios, dynamics marginal)."""
+    is_jump, is_poisson = _family(model_class_str)
+    trans = _make_trans(model_class_str, hp, n_latent_bin)
+    ll = get_loglikelihood_ma_all(
+        y_test, tuning, _emission_hyper(model_class_str, hp),
+        jnp.ones_like(y_test), jnp.ones(n_latent_bin),
+        observation_model="poisson" if is_poisson else "gaussian",
+    )
+    carry0 = (
+        jnp.exp(trans.uniform_log_init()), jnp.array(0.0, dtype=jnp.float32)
+    )
+    post_f, prior_f, ratios, (_p, lml) = _forward_scan_prob(
+        ll, trans, carry0, likelihood_scale
+    )
+    smooth, _acc = _backward_scan_prob(
+        post_f[:-1], prior_f[1:], trans, post_f[-1]
+    )
+    smooth_full = jnp.concatenate([smooth, post_f[-1][None]], axis=0)
+    if is_jump:
+        dyn_marg = smooth_full.sum(axis=2)  # (T, n_dyn)
+    else:
+        dyn_marg = jnp.zeros((y_test.shape[0], 1), dtype=jnp.float32)
+    return {"log_marginal_final": lml, "ratios": ratios,
+            "posterior_dynamics_marg": dyn_marg}
+
+
+def _single_masked_lml(y_test, tuning, hp, ma_latent, *, model_class_str,
+                       n_latent_bin, likelihood_scale):
+    """Forward-filter log marginal under a latent mask — the quantity
+    ``decode_latent(ma_latent=...)`` reports as log_marginal_final
+    (the smoother does not change it)."""
+    _, is_poisson = _family(model_class_str)
+    trans = _make_trans(model_class_str, hp, n_latent_bin)
+    ll = get_loglikelihood_ma_all(
+        y_test, tuning, _emission_hyper(model_class_str, hp),
+        jnp.ones_like(y_test), ma_latent,
+        observation_model="poisson" if is_poisson else "gaussian",
+    )
+    carry0 = (
+        jnp.exp(trans.uniform_log_init()), jnp.array(0.0, dtype=jnp.float32)
+    )
+    *_, (_p, lml) = _forward_scan_prob(ll, trans, carry0, likelihood_scale)
+    return lml
+
+
+@lru_cache(maxsize=64)
+def _batched_decode_program(model_class_str, hp_keys, n_latent_bin,
+                            likelihood_scale):
+    run = partial(
+        _single_decode_metrics, model_class_str=model_class_str,
+        n_latent_bin=n_latent_bin, likelihood_scale=likelihood_scale,
+    )
+
+    def one(y, tuning, hp_tuple):
+        return run(y, tuning, dict(zip(hp_keys, hp_tuple)))
+
+    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
+
+
+@lru_cache(maxsize=64)
+def _batched_masked_lml_program(model_class_str, hp_keys, n_latent_bin,
+                                likelihood_scale):
+    run = partial(
+        _single_masked_lml, model_class_str=model_class_str,
+        n_latent_bin=n_latent_bin, likelihood_scale=likelihood_scale,
+    )
+
+    def one(y, tuning, hp_tuple, mask):
+        return run(y, tuning, dict(zip(hp_keys, hp_tuple)), mask)
+
+    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
+
+
+def sweep_eval_model_class(
+    y_test, per_run, config_l, model_class_str, masks_per_run,
+    likelihood_scale=1.0,
+):
+    """Batched evaluation: full decodes for all runs + every
+    (run x frac x mask-repeat) downsampled-LML decode, bucketed like the
+    fit (reference model_selection_helper.py:62-143, :243-260 semantics).
+
+    ``masks_per_run``: {frac: list of (n_mask, L_i) mask arrays, one per
+    run} (the serial path draws masks per config from its eval key).
+    Returns (decode_metrics per run, {frac: list of (n_mask,) lml arrays
+    per run})."""
+    y_test = jnp.asarray(y_test, dtype=jnp.float32)
+    B = len(config_l)
+    defaults = _config_defaults(model_class_str)
+    full_cfg = [{**defaults, **cfg} for cfg in config_l]
+    hp_names = sorted(
+        k for k in defaults
+        if k not in ("n_latent_bin", "tuning_lengthscale",
+                     "explained_variance_threshold_basis")
+    )
+
+    buckets = {}
+    for i, cfg in enumerate(full_cfg):
+        buckets.setdefault(cfg["n_latent_bin"], []).append(i)
+
+    dec_per_run = [None] * B
+    masked_per_run = {frac: [None] * B for frac in masks_per_run}
+    for L, idxs in sorted(buckets.items()):
+        tuning_stack = jnp.stack([per_run[i]["tuning"] for i in idxs])
+        hp_stack = tuple(
+            jnp.asarray([full_cfg[i][k] for i in idxs], dtype=jnp.float32)
+            for k in hp_names
+        )
+        dec_prog = _batched_decode_program(
+            model_class_str, tuple(hp_names), L, likelihood_scale
+        )
+        dec = dec_prog(y_test, tuning_stack, hp_stack)
+        for j, i in enumerate(idxs):
+            dec_per_run[i] = {k: v[j] for k, v in dec.items()}
+
+        mask_prog = _batched_masked_lml_program(
+            model_class_str, tuple(hp_names), L, likelihood_scale
+        )
+        nb_runs = len(idxs)
+        for frac, masks_l in masks_per_run.items():
+            masks_L = jnp.stack(
+                [jnp.asarray(masks_l[i], dtype=jnp.float32) for i in idxs]
+            )  # (nb_runs, n_mask, L)
+            n_mask = masks_L.shape[1]
+            # flatten (run, mask) into one batch axis
+            tun_flat = jnp.repeat(tuning_stack, n_mask, axis=0)
+            hp_flat = tuple(jnp.repeat(h, n_mask, axis=0) for h in hp_stack)
+            mask_flat = masks_L.reshape(nb_runs * n_mask, L)
+            lml_flat = mask_prog(y_test, tun_flat, hp_flat, mask_flat)
+            lml_rm = lml_flat.reshape(nb_runs, n_mask)
+            for j, i in enumerate(idxs):
+                masked_per_run[frac][i] = lml_rm[j]
+    return dec_per_run, masked_per_run

@@ -199,6 +199,35 @@ def evaluate_model_one_config(
     return model_eval_result
 
 
+#: fit_em kwargs the batched backend honors (all other keys force the
+#: serial path; n_time_per_chunk/save_every only change memory/em_res
+#: retention, not results — chunking is exact)
+_BATCHED_FIT_KWARGS = frozenset({
+    "n_iter", "log_posterior_init", "n_time_per_chunk", "dt",
+    "likelihood_scale", "save_every", "posterior_init_kwargs", "verboase",
+    "verbose", "m_step_step_size", "m_step_maxiter", "m_step_tol",
+})
+
+
+def _batched_backend_applicable(hyperparam_dict, fit_kwargs, model_class_str,
+                                n_configs, n_repeat):
+    from poor_man_gplvm_tpu.parallel import sweep as _sweep
+
+    if model_class_str not in model_class_dict:
+        return False
+    if n_configs * n_repeat <= 1:
+        return False
+    if set(hyperparam_dict) - _sweep._SWEEPABLE_CTOR_KEYS:
+        return False
+    if set(fit_kwargs) - _BATCHED_FIT_KWARGS:
+        return False
+    if fit_kwargs.get("log_posterior_init") is not None:
+        return False
+    if float(fit_kwargs.get("dt", 1.0)) != 1.0:
+        return False
+    return True
+
+
 def model_selection_one_split(
     y,
     hyperparam_dict,
@@ -223,10 +252,47 @@ def model_selection_one_split(
     jump_consensus_jump_p_thresh=0.4,
     jump_consensus_consensus_thresh=0.8,
     verbose=True,
+    backend="auto",
 ):
     """Fit + evaluate all grid configs on one contiguous train/test split
-    (reference model_selection_helper.py:145-239)."""
+    (reference model_selection_helper.py:145-239).
+
+    ``backend``:
+
+    * ``'serial'`` — the reference's host loop over configs x chains.
+    * ``'batched'`` — the whole (config x chain) tree runs as bucketed
+      vmapped device programs (fit, test decodes, every downsampled-LML
+      mask decode), numerically matching the serial path
+      (poor_man_gplvm_tpu.parallel.sweep).  Requires all swept keys and
+      fit_kwargs to be batchable (see ``_batched_backend_applicable``).
+    * ``'auto'`` (default) — 'batched' whenever applicable and more than
+      one run is requested.
+    """
     key = jr.PRNGKey(0) if key is None else key
+    if backend not in ("auto", "serial", "batched"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend != "serial":
+        n_configs = int(
+            np.prod([len(v) for v in hyperparam_dict.values()])
+        ) if hyperparam_dict else 1
+        applicable = _batched_backend_applicable(
+            hyperparam_dict, fit_kwargs, model_class_str, n_configs, n_repeat
+        )
+        if backend == "batched" and not applicable:
+            raise ValueError(
+                "backend='batched' cannot handle this grid/fit_kwargs "
+                "combination (shape-incompatible or unsupported keys) — "
+                "use backend='serial'"
+            )
+        if applicable:
+            return _model_selection_one_split_batched(
+                y, hyperparam_dict, train_index, test_index, test_frac, key,
+                model_to_return_type, fit_kwargs, model_class_str, n_repeat,
+                latent_downsample_frac, downsample_n_repeat, metric_type_l,
+                jump_dynamics_index, jump_consensus_window_size,
+                jump_consensus_jump_p_thresh, jump_consensus_consensus_thresh,
+                verbose,
+            )
     T, n_neuron = y.shape
     metric_type_l = list(metric_type_l)
 
@@ -322,25 +388,307 @@ def model_selection_one_split(
     }
 
 
+def _downsample_masks(key, n_latent_bin, downsample_frac, n_repeat):
+    """The exact mask stream get_downsampled_lml draws (same jr calls)."""
+    key_l = jr.split(key, n_repeat)
+    n_sel = int(n_latent_bin * downsample_frac)
+    masks = []
+    for k in key_l:
+        chosen = jr.choice(k, n_latent_bin, shape=(n_sel,), replace=False)
+        masks.append(jnp.zeros(n_latent_bin).at[chosen].set(1))
+    return jnp.stack(masks)
+
+
+def _assemble_eval_from_parts(
+    lml_test, one_step_sum, dyn_marg_l, masked_lml_per_frac, metric_type_l,
+    latent_downsample_frac, jump_dynamics_index, jump_consensus_window_size,
+    jump_consensus_jump_p_thresh, jump_consensus_consensus_thresh,
+):
+    """Metric assembly identical to ``evaluate_model_one_config``
+    (reference model_selection_helper.py:62-143), from batched decode
+    outputs for ONE config's chains."""
+    n_chain = len(lml_test)
+    model_eval_result = {}
+    if "log_marginal_test" in metric_type_l:
+        model_eval_result["log_marginal_test"] = {
+            "value_per_fit": np.asarray(lml_test, dtype=np.float64),
+            "best_value": None, "best_index": None,
+        }
+    if "log_one_step_predictive_marginal_test" in metric_type_l:
+        model_eval_result["log_one_step_predictive_marginal_test"] = {
+            "value_per_fit": np.asarray(one_step_sum, dtype=np.float64),
+            "best_value": None, "best_index": None,
+        }
+    if "downsampled_lml" in metric_type_l:
+        for frac in latent_downsample_frac:
+            vals = np.array([
+                float(np.mean(masked_lml_per_frac[frac][c]))
+                for c in range(n_chain)
+            ])
+            model_eval_result[f"downsampled_lml_{frac}"] = {
+                "value_per_fit": vals, "best_value": None, "best_index": None,
+            }
+    if "jump_consensus" in metric_type_l:
+        window_sizes = (
+            [jump_consensus_window_size]
+            if isinstance(jump_consensus_window_size, int)
+            else list(jump_consensus_window_size)
+        )
+        jump_p_all_chain = np.array([
+            np.asarray(d)[:, jump_dynamics_index] for d in dyn_marg_l
+        ]).T
+        for ws in window_sizes:
+            name = (
+                "jump_consensus"
+                if isinstance(jump_consensus_window_size, int)
+                else f"jump_consensus_{ws}"
+            )
+            vals = []
+            for jump_p in jump_p_all_chain.T:
+                frac_consensus, _, _ = get_jump_consensus(
+                    jump_p, jump_p_all_chain, window_size=ws,
+                    jump_p_thresh=jump_consensus_jump_p_thresh,
+                    consensus_thresh=jump_consensus_consensus_thresh,
+                )
+                vals.append(frac_consensus)
+            model_eval_result[name] = {
+                "value_per_fit": np.array(vals),
+                "best_value": None, "best_index": None,
+            }
+    value_per_fit = np.zeros(n_chain)
+    for frac in latent_downsample_frac:
+        value_per_fit += model_eval_result[f"downsampled_lml_{frac}"][
+            "value_per_fit"
+        ]
+    value_per_fit /= len(latent_downsample_frac)
+    model_eval_result["metric_overall"] = {
+        "value_per_fit": value_per_fit, "best_value": None, "best_index": None,
+    }
+    for k in model_eval_result:
+        vals = model_eval_result[k]["value_per_fit"]
+        model_eval_result[k]["best_value"] = np.max(vals)
+        model_eval_result[k]["best_index"] = int(np.argmax(vals))
+    return model_eval_result
+
+
+def _model_selection_one_split_batched(
+    y, hyperparam_dict, train_index, test_index, test_frac, key,
+    model_to_return_type, fit_kwargs, model_class_str, n_repeat,
+    latent_downsample_frac, downsample_n_repeat, metric_type_l,
+    jump_dynamics_index, jump_consensus_window_size,
+    jump_consensus_jump_p_thresh, jump_consensus_consensus_thresh, verbose,
+):
+    """backend='batched': the serial tree (fit chains -> decode -> masked
+    decodes -> consensus) recast as bucketed vmapped device programs, with
+    the serial path's exact RNG derivation so results match
+    (reference model_selection_helper.py:145-239; SURVEY §3.5 notes the
+    whole tree is embarrassingly parallel)."""
+    from poor_man_gplvm_tpu.parallel import sweep as _sweep
+
+    T, n_neuron = y.shape
+    metric_type_l = list(metric_type_l)
+    if "latentonly" in model_class_str:
+        metric_type_l = [m for m in metric_type_l if "jump" not in m]
+
+    if train_index is None:
+        train_index = slice(0, int(T * (1 - test_frac)))
+    if test_index is None:
+        test_index = slice(int(T * (1 - test_frac)), T)
+    y_train = jnp.array(y[train_index])
+    y_test = jnp.array(y[test_index])
+
+    hyperparam_grid_l, hyperparam_grid_df = generate_hyperparam_grid(
+        hyperparam_dict
+    )
+    n_cfg = len(hyperparam_grid_l)
+
+    # the serial loop's exact per-config key evolution
+    key_fit_l, key_eval_l = [], []
+    for _ in range(n_cfg):
+        key, _unused = jr.split(key)
+        key_fit, key_eval = jr.split(key)
+        key_fit_l.append(key_fit)
+        key_eval_l.append(key_eval)
+
+    fk = dict(default_fit_kwargs)
+    fk.update(fit_kwargs or {})
+    n_iter = fk.get("n_iter", 20)
+    likelihood_scale = float(fk.get("likelihood_scale", 1.0))
+    random_scale = float(
+        (fk.get("posterior_init_kwargs") or {}).get("random_scale", 0.1)
+    )
+
+    config_l, run_keys = [], []
+    for ii, cfg in enumerate(hyperparam_grid_l):
+        chain_keys = jr.split(key_fit_l[ii], n_repeat)
+        for c in range(n_repeat):
+            config_l.append(dict(cfg))
+            run_keys.append(chain_keys[c])
+    B = len(config_l)
+
+    if verbose:
+        print(
+            f"== batched model selection: {n_cfg} configs x {n_repeat} "
+            f"chains = {B} runs =="
+        )
+    per_run = _sweep.sweep_fit_model_class(
+        y_train, config_l, run_keys, model_class_str, n_iter=n_iter,
+        likelihood_scale=likelihood_scale, random_scale=random_scale,
+        m_step_size=float(fk.get("m_step_step_size", 0.01)),
+        m_maxiter=int(fk.get("m_step_maxiter", 1000)),
+        m_tol=float(fk.get("m_step_tol", 1e-6)),
+    )
+
+    # per-run downsampled masks, drawn exactly like the serial path (same
+    # eval key shared across fracs and chains WITHIN a config)
+    masks_per_run = {}
+    model_class = model_class_dict[model_class_str]
+    L_per_cfg = [
+        cfg.get("n_latent_bin", 100) for cfg in hyperparam_grid_l
+    ]
+    if "downsampled_lml" in metric_type_l:
+        for frac in latent_downsample_frac:
+            masks_l = []
+            for ii in range(n_cfg):
+                masks_cfg = _downsample_masks(
+                    key_eval_l[ii], L_per_cfg[ii], frac, downsample_n_repeat
+                )
+                masks_l.extend([masks_cfg] * n_repeat)
+            masks_per_run[frac] = masks_l
+
+    dec_per_run, masked_per_run = _sweep.sweep_eval_model_class(
+        y_test, per_run, config_l, model_class_str, masks_per_run,
+        likelihood_scale=1.0,
+    )
+
+    # materialize model objects (fitted params/tuning) for the return
+    # contract; construction is host-side and cheap
+    model_fit_all = []
+    for i in range(B):
+        m = model_class(n_neuron=n_neuron, **config_l[i])
+        m.params = per_run[i]["params"]
+        m.tuning = per_run[i]["tuning"]
+        model_fit_all.append(m)
+
+    model_eval_result_all_configs = {}
+    best_model, best_model_l, best_config = None, None, None
+    model_to_return_l = []
+    metric_overall_best = -np.inf
+    for ii, param_dict in enumerate(hyperparam_grid_l):
+        runs = list(range(ii * n_repeat, (ii + 1) * n_repeat))
+        lml_test = [
+            float(dec_per_run[i]["log_marginal_final"]) for i in runs
+        ]
+        one_step = [
+            float(np.asarray(dec_per_run[i]["ratios"]).sum()) for i in runs
+        ]
+        dyn_marg_l = [
+            np.asarray(dec_per_run[i]["posterior_dynamics_marg"])
+            for i in runs
+        ]
+        masked = {
+            frac: [np.asarray(masked_per_run[frac][i]) for i in runs]
+            for frac in masks_per_run
+        }
+        model_eval_result = _assemble_eval_from_parts(
+            lml_test, one_step, dyn_marg_l, masked, metric_type_l,
+            latent_downsample_frac, jump_dynamics_index,
+            jump_consensus_window_size, jump_consensus_jump_p_thresh,
+            jump_consensus_consensus_thresh,
+        )
+        if not model_eval_result_all_configs:
+            for k in model_eval_result:
+                model_eval_result_all_configs[k + "_best_value"] = []
+                model_eval_result_all_configs[k + "_best_index"] = []
+        for k in model_eval_result:
+            model_eval_result_all_configs[k + "_best_value"].append(
+                model_eval_result[k]["best_value"]
+            )
+            model_eval_result_all_configs[k + "_best_index"].append(
+                model_eval_result[k]["best_index"]
+            )
+        model_fit_l = [model_fit_all[i] for i in runs]
+        current_best = model_eval_result["metric_overall"]["best_value"]
+        if current_best > metric_overall_best:
+            metric_overall_best = current_best
+            best_model = model_fit_l[
+                model_eval_result["metric_overall"]["best_index"]
+            ]
+            best_model_l = model_fit_l
+            best_config = param_dict
+        if model_to_return_type == "best_per_config":
+            model_to_return_l.append(
+                model_fit_l[model_eval_result["metric_overall"]["best_index"]]
+            )
+        elif model_to_return_type == "all":
+            model_to_return_l.append(model_fit_l)
+
+    if model_to_return_type == "best_overall":
+        model_to_return_l = [best_model]
+    elif model_to_return_type == "best_config":
+        model_to_return_l = [best_model_l]
+
+    model_eval_result_all_configs = pd.DataFrame(
+        model_eval_result_all_configs
+    ).join(hyperparam_grid_df)
+    return {
+        "model_to_return_l": model_to_return_l,
+        "best_config": best_config,
+        "best_model": best_model,
+        "best_model_l": best_model_l,
+        "model_eval_result_all_configs": model_eval_result_all_configs,
+        "hyperparam_grid_df": hyperparam_grid_df,
+        "hyperparam_tosweep_keys": hyperparam_grid_df.columns,
+    }
+
+
 def get_downsampled_lml(
     model_fit, y_test, downsample_frac=0.2, n_repeat=10, key=None, **kwargs
 ):
     """Held-out LML under random latent masks keeping ``frac * L`` bins — a
-    complexity-penalty metric (reference model_selection_helper.py:243-260)."""
+    complexity-penalty metric (reference model_selection_helper.py:243-260).
+
+    The mask decodes run as ONE vmapped filter program (the smoother does
+    not change log_marginal_final) unless extra decode kwargs force the
+    serial per-mask path."""
     key = jr.PRNGKey(4) if key is None else key
-    key_l = jr.split(key, n_repeat)
-    n_latent_to_select = int(model_fit.n_latent_bin * downsample_frac)
-    lml_l = []
-    for k in key_l:
-        latent_mask = jnp.zeros(model_fit.n_latent_bin)
-        chosen = jr.choice(
-            k, model_fit.n_latent_bin, shape=(n_latent_to_select,), replace=False
-        )
-        latent_mask = latent_mask.at[chosen].set(1)
-        decoding_res = model_fit.decode_latent(
-            y_test, ma_latent=latent_mask, **kwargs
-        )
-        lml_l.append(decoding_res["log_marginal_final"])
+    masks = _downsample_masks(
+        key, model_fit.n_latent_bin, downsample_frac, n_repeat
+    )
+    if not kwargs:
+        import jax
+
+        from poor_man_gplvm_tpu.ops import emissions, hmm
+
+        hyper = {}
+        if hasattr(model_fit, "noise_std"):
+            hyper["noise_std"] = model_fit.noise_std
+        trans, _ = model_fit._make_transition(hyper)
+        tuning = model_fit.tuning
+        ma_neuron = model_fit.ma_neuron_default
+        obs = model_fit.observation_model
+        y_test = jnp.asarray(y_test, dtype=jnp.float32)
+
+        def one(mask):
+            ll = emissions.get_loglikelihood_ma_all(
+                y_test, tuning, hyper, jnp.ones_like(y_test) * ma_neuron,
+                mask, observation_model=obs,
+            )
+            carry0 = (
+                jnp.exp(trans.uniform_log_init()),
+                jnp.array(0.0, dtype=jnp.float32),
+            )
+            *_, (_p, lml) = hmm._forward_scan_prob(ll, trans, carry0, 1.0)
+            return lml
+
+        lml_l = np.asarray(jax.jit(jax.vmap(one))(masks))
+    else:
+        lml_l = [
+            model_fit.decode_latent(y_test, ma_latent=masks[i], **kwargs)[
+                "log_marginal_final"
+            ]
+            for i in range(n_repeat)
+        ]
     return {"value": float(np.mean(lml_l)), "std": float(np.std(lml_l))}
 
 
