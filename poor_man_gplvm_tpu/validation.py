@@ -44,30 +44,125 @@ def circular_shuffle_data(spk_tsdf, n_shuffle=100, ep=None, seed=None):
 
 def shuffle_and_decode(model, spk_tsdf, n_time_per_chunk=10000, dt_l=1,
                        n_shuffle=100, ep=None, decoder_type="naive_bayes",
-                       seed=None, verbose=True):
+                       seed=None, verbose=True, batched=True,
+                       shuffle_batch_size=16):
     """Decode each circular shuffle; stack result dicts over shuffles
-    (reference test.py:27-45)."""
-    y_shuffled_l = circular_shuffle_data(
-        spk_tsdf, n_shuffle=n_shuffle, ep=ep, seed=seed
-    )
-    decoding_res_l = []
-    for y_shuffled in tqdm.tqdm(
-        y_shuffled_l, total=n_shuffle, disable=not verbose
-    ):
-        if decoder_type == "naive_bayes":
-            res = model.decode_latent_naive_bayes(
-                y_shuffled, n_time_per_chunk=n_time_per_chunk, dt_l=dt_l
+    (reference test.py:27-45).
+
+    ``batched=True`` (default): shuffles are decoded in vmapped device
+    programs of ``shuffle_batch_size`` at a time instead of one dispatch
+    per shuffle — each sequential scan step then advances all shuffles as
+    one batched matmul, so an n_shuffle=100 null costs a handful of device
+    programs (VERDICT round-2 next #7).  Same shuffle stream (identical
+    rng consumption) and same stacked result dict as the serial loop."""
+    if not batched:
+        y_shuffled_l = circular_shuffle_data(
+            spk_tsdf, n_shuffle=n_shuffle, ep=ep, seed=seed
+        )
+        decoding_res_l = []
+        for y_shuffled in tqdm.tqdm(
+            y_shuffled_l, total=n_shuffle, disable=not verbose
+        ):
+            if decoder_type == "naive_bayes":
+                res = model.decode_latent_naive_bayes(
+                    y_shuffled, n_time_per_chunk=n_time_per_chunk, dt_l=dt_l
+                )
+            elif decoder_type == "dynamics":
+                res = model.decode_latent(
+                    y_shuffled, n_time_per_chunk=n_time_per_chunk
+                )
+            else:
+                raise ValueError(f"decoder_type {decoder_type} not supported")
+            decoding_res_l.append(res)
+        return {
+            k: np.array([np.asarray(d[k]) for d in decoding_res_l])
+            for k in decoding_res_l[0].keys()
+        }
+
+    if decoder_type not in ("naive_bayes", "dynamics"):
+        raise ValueError(f"decoder_type {decoder_type} not supported")
+    import jax
+
+    from poor_man_gplvm_tpu.ops import emissions, hmm
+
+    y_stack = np.stack([
+        np.asarray(s) for s in circular_shuffle_data(
+            spk_tsdf, n_shuffle=n_shuffle, ep=ep, seed=seed
+        )
+    ])  # (S, T, N)
+
+    tuning = model.tuning
+    hyper = {}
+    if hasattr(model, "noise_std"):
+        hyper["noise_std"] = model.noise_std
+    ma_neuron = model.ma_neuron_default
+    ma_latent = model.ma_latent_default
+    obs = model.observation_model
+
+    out_batches = []
+    if decoder_type == "naive_bayes":
+        nb = jax.jit(jax.vmap(
+            lambda y: emissions.get_naive_bayes_ma(
+                y, tuning, hyper, ma_neuron, ma_latent, dt_l=dt_l,
+                observation_model=obs,
             )
-        elif decoder_type == "dynamics":
-            res = model.decode_latent(
-                y_shuffled, n_time_per_chunk=n_time_per_chunk
+        ))
+        for s0 in tqdm.tqdm(range(0, n_shuffle, shuffle_batch_size),
+                            disable=not verbose):
+            log_post, lml_l, lml_tot, ll = nb(
+                jnp.asarray(y_stack[s0:s0 + shuffle_batch_size])
             )
-        else:
-            raise ValueError(f"decoder_type {decoder_type} not supported")
-        decoding_res_l.append(res)
+            out_batches.append({
+                "log_posterior_latent": np.asarray(log_post),
+                "log_marginal_l": np.asarray(lml_l),
+                "log_marginal_total": np.asarray(lml_tot),
+                "posterior_latent": np.exp(np.asarray(log_post)),
+                "ll_per_pos_l": np.asarray(ll),
+            })
+    else:
+        trans, _ = model._make_transition(hyper)
+        # prob engine: vmap-safe, numerically the model's own path
+        engine = (
+            model.inference_engine
+            if model.inference_engine in ("prob", "log") else "prob"
+        )
+        has_dyn = model.has_dynamics
+
+        def one(y):
+            smooth, lml, _c, ratios, acc, ll = hmm.smooth_combined_chunked(
+                y, tuning, hyper, trans, ma_neuron, ma_latent,
+                n_time_per_chunk=n_time_per_chunk, observation_model=obs,
+                engine=engine,
+            )
+            tp = (
+                hmm.compute_transition_posterior_prob(acc) if has_dyn
+                else hmm.compute_transition_posterior_prob_latent(acc)
+            )
+            return smooth, lml, ratios, ll, tp
+
+        dec = jax.jit(jax.vmap(one))
+        for s0 in tqdm.tqdm(range(0, n_shuffle, shuffle_batch_size),
+                            disable=not verbose):
+            smooth, lml, ratios, ll, tp = dec(
+                jnp.asarray(y_stack[s0:s0 + shuffle_batch_size])
+            )
+            post = np.exp(np.asarray(smooth))
+            batch = {
+                "log_posterior_all": np.asarray(smooth),
+                "log_marginal_final": np.asarray(lml),
+                "posterior_all": post,
+                "log_one_step_predictive_marginals_all": np.asarray(ratios),
+                "log_likelihood_all": np.asarray(ll),
+            }
+            if has_dyn:
+                batch["posterior_latent_marg"] = post.sum(axis=2)
+                batch["posterior_dynamics_marg"] = post.sum(axis=3)
+            batch.update({k: np.asarray(v) for k, v in tp.items()})
+            out_batches.append(batch)
+
     return {
-        k: np.array([np.asarray(d[k]) for d in decoding_res_l])
-        for k in decoding_res_l[0].keys()
+        k: np.concatenate([b[k] for b in out_batches], axis=0)
+        for k in out_batches[0]
     }
 
 
