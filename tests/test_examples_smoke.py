@@ -31,6 +31,14 @@ def _run(path, extra_args=(), timeout=900, tmp_path=None):
         "--xla_force_host_platform_device_count=8",
     )
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # shared persistent compilation cache across all smoke subprocesses:
+    # without it each subprocess recompiles the full program set from
+    # scratch and the smoke pass alone runs >20 min (VERDICT r2 next #8)
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(REPO, ".jax_cache_examples"),
+    )
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
     proc = subprocess.run(
         [sys.executable, path, *extra_args],
         env=env,

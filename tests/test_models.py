@@ -348,3 +348,34 @@ def test_fused_em_program_reuse_across_hyperparams():
              hyperparam={"movement_variance": 2.0, "p_move_to_jump": 0.02})
     # same numeric KEY SET -> same cache entry; the third call adds a key
     assert len(m._fused_prog_cache) == 2
+
+
+def test_fused_em_no_recompile_across_dynamics_hyperparams():
+    """Dynamics-hyperparam changes (p_move_to_jump / movement_variance)
+    must reuse the SAME compiled executable, not just the same cache
+    entry: the transition matrices enter the fused program as operands,
+    so re-fitting with different dynamics values is a zero-compile event
+    (VERDICT r2 next #9; mirrors what f4ef290 proved for emission
+    numerics)."""
+    import jax.random as jr
+
+    m = pmg.PoissonGPLVMJump1D(5, n_latent_bin=9, movement_variance=1.0,
+                               tuning_lengthscale=3.0)
+    _, spk = m.sample(300)
+    grid = [
+        {"movement_variance": 0.5, "p_move_to_jump": 0.01},
+        {"movement_variance": 2.0, "p_move_to_jump": 0.01},
+        {"movement_variance": 2.0, "p_move_to_jump": 0.05},
+        {"movement_variance": 4.0, "p_move_to_jump": 0.02},
+    ]
+    lml = []
+    for hp in grid:
+        res = m.fit_em(spk, key=jr.PRNGKey(0), n_iter=4, verboase=False,
+                       fused=True, hyperparam=hp)
+        lml.append(float(np.asarray(res["log_marginal_l"])[-1]))
+    assert len(m._fused_prog_cache) == 1
+    (prog,) = m._fused_prog_cache.values()
+    # one executable total: every grid point hit the same traced program
+    assert prog._cache_size() == 1
+    # and the dynamics values genuinely steered the result
+    assert len(set(lml)) == len(grid)
