@@ -189,6 +189,50 @@ def main():
     except Exception as e:
         log(f"sweep bench skipped: {type(e).__name__}: {e}")
 
+    # model_selection_one_split: the reference's actual sweep entry point
+    # (model_selection_helper.py:145-239, a serial host loop there) — here
+    # backend='batched' runs the whole fit/eval tree as vmapped programs
+    one_split_speedup = None
+    try:
+        from poor_man_gplvm_tpu import selection
+
+        Tsel = 5_000
+        y_sel = np.asarray(y[:Tsel])
+        sel_kw = dict(
+            hyperparam_dict={
+                "movement_variance": [0.5, 1.0, 2.0, 4.0],
+                "tuning_lengthscale": [10.0],
+            },
+            fit_kwargs=dict(
+                selection.default_fit_kwargs, n_iter=3, verboase=False
+            ),
+            model_class_str="poisson",
+            n_repeat=2,
+            latent_downsample_frac=(0.5,),
+            downsample_n_repeat=3,
+            verbose=False,
+        )
+        # warm both backends, then time
+        selection.model_selection_one_split(
+            y_sel, backend="batched", **sel_kw
+        )
+        t0 = time.time()
+        selection.model_selection_one_split(
+            y_sel, backend="batched", **sel_kw
+        )
+        dt_batched = time.time() - t0
+        t0 = time.time()
+        selection.model_selection_one_split(
+            y_sel, backend="serial", **sel_kw
+        )
+        dt_serial = time.time() - t0
+        one_split_speedup = dt_serial / dt_batched
+        log(f"model_selection_one_split (4 configs x 2 chains, T={Tsel}):"
+            f" batched {dt_batched:.2f}s vs serial {dt_serial:.2f}s"
+            f" -> {one_split_speedup:.1f}x")
+    except Exception as e:
+        log(f"one_split bench skipped: {type(e).__name__}: {e}")
+
     # north-star-scale diagnostic (T=1e6 x L=500 x N=500, lean outputs)
     northstar = None
     northstar_passes = 6.0
@@ -269,6 +313,9 @@ def main():
         "decode_timesteps_per_sec": round(decode_sps),
         "sweep_aggregate_timesteps_per_sec": (
             round(sweep_agg) if sweep_agg else None
+        ),
+        "one_split_batched_vs_serial_speedup": (
+            round(one_split_speedup, 1) if one_split_speedup else None
         ),
         "northstar_T1e6_L500_N500_sec_per_iter": (
             round(northstar, 3) if northstar else None

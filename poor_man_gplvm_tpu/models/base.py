@@ -99,6 +99,7 @@ class _GPLVMCommon(ABC):
         state["adam_runner"] = None
         state["opt_state_init_fun"] = None
         state.pop("_fused_prog_cache", None)
+        state.pop("_trans_cache", None)
         return state
 
     def __setstate__(self, state):
@@ -120,12 +121,46 @@ class _GPLVMCommon(ABC):
         """One M-step on grouped statistics."""
 
     # dynamics-specific hooks -----------------------------------------
+    #: hyperparam keys the transition matrices depend on (subclass sets);
+    #: used as the memoization key for _make_transition
+    _TRANSITION_HYPER_KEYS: tuple = ()
+
     @abstractmethod
-    def _make_transition(self, hyperparam):
+    def _build_transition(self, hyperparam):
         """Build the hmm.Transition pytree + reference-style matrices from
         instance attributes with per-call hyperparam overrides
         (the load-bearing hyperparam.get(key, self.key) pattern,
         reference core.py:469-471,608-616)."""
+
+    def _make_transition(self, hyperparam):
+        """Memoized `_build_transition`: repeated decode/fit calls with the
+        same dynamics hyperparameters reuse the built (L, L) matrices
+        instead of re-dispatching the kernel builder (one device program +
+        tiny ops whose enqueue latency shows up on every decode through a
+        remote tunnel — PERFORMANCE.md remote-device rules)."""
+        key = self._transition_cache_key(hyperparam)
+        if key is None:
+            return self._build_transition(hyperparam)
+        cache = getattr(self, "_trans_cache", None)
+        if cache is None:
+            cache = self._trans_cache = {}
+        hit = cache.get(key)
+        if hit is None:
+            if len(cache) >= 64:  # sweeps over many configs: stay bounded
+                cache.clear()
+            hit = cache[key] = self._build_transition(hyperparam)
+        return hit
+
+    def _transition_cache_key(self, hyperparam):
+        if self.custom_transition_kernel is not None:
+            return None  # array-valued dependency: don't guess identity
+        vals = []
+        for k in self._TRANSITION_HYPER_KEYS:
+            v = hyperparam.get(k, getattr(self, k))
+            if not isinstance(v, (int, float, np.integer, np.floating)):
+                return None  # traced/array override: bypass the cache
+            vals.append(float(v))
+        return tuple(vals)
 
     @abstractmethod
     def init_latent_posterior(self, T, key, random_scale=0.1):
@@ -182,6 +217,71 @@ class _GPLVMCommon(ABC):
             engine=self.inference_engine,
             **smooth_kwargs,
         )
+
+    def _decode_fused_prog(self, hyperparam, n_time_per_chunk):
+        """One-dispatch decode program: smoother + prob-space transforms +
+        transition posterior, compiled once per static config and cached on
+        the instance.  Each separately-dispatched program costs ~9-13 ms in
+        enqueue + prologue through a remote tunnel (PERFORMANCE.md rule 2),
+        so collapsing decode's 4-6 dispatches into one roughly halves the
+        small-T decode latency.  Returns None when the hyperparam values
+        aren't traceable (fall back to the unfused path)."""
+        if not all(
+            isinstance(v, (int, float, np.integer, np.floating,
+                           np.ndarray, jnp.ndarray))
+            for v in hyperparam.values()
+        ):
+            return None
+        static_key = (
+            "decode", self.inference_engine, self.observation_model,
+            tuple(sorted(hyperparam)), n_time_per_chunk,
+        )
+        cache = getattr(self, "_fused_prog_cache", None)
+        if cache is None:
+            cache = self._fused_prog_cache = {}
+        prog = cache.get(static_key)
+        if prog is None:
+            obs = self.observation_model
+            engine = self.inference_engine
+            has_dyn = self.has_dynamics
+
+            def _prog(y, tuning, hyper, trans, ma_neuron, ma_latent,
+                      likelihood_scale):
+                (
+                    log_post, log_marginal_final, _log_causal,
+                    log_one_step_pred, log_acc, log_likelihood_all,
+                ) = hmm.smooth_combined_chunked(
+                    y, tuning, hyper, trans, ma_neuron, ma_latent,
+                    likelihood_scale=likelihood_scale,
+                    n_time_per_chunk=n_time_per_chunk,
+                    observation_model=obs, engine=engine,
+                )
+                posterior_all = jnp.exp(log_post)
+                res = {
+                    "log_posterior_all": log_post,
+                    "posterior_all": posterior_all,
+                    "log_one_step_predictive_marginals_all": log_one_step_pred,
+                    "log_likelihood_all": log_likelihood_all,
+                    "_log_marginal_final": log_marginal_final,
+                }
+                if has_dyn:
+                    res["posterior_latent_marg"] = posterior_all.sum(axis=1)
+                    res["posterior_dynamics_marg"] = posterior_all.sum(axis=2)
+                    if log_acc is not None:
+                        res.update(
+                            hmm.compute_transition_posterior_prob(log_acc)
+                        )
+                else:
+                    if log_acc is not None:
+                        res.update(
+                            hmm.compute_transition_posterior_prob_latent(
+                                log_acc
+                            )
+                        )
+                return res
+
+            prog = cache[static_key] = jax.jit(_prog)
+        return prog
 
     def predict_expected_rate(self, post_latent_marg, tuning=None):
         """Expected firing rate under the latent posterior

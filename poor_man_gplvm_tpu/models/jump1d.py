@@ -83,7 +83,11 @@ class AbstractGPLVMJump1D(_GPLVMCommon):
         self.p_move_to_jump = hyperparam.get("p_move_to_jump", self.p_move_to_jump)
         self.p_jump_to_move = hyperparam.get("p_jump_to_move", self.p_jump_to_move)
 
-    def _make_transition(self, hyperparam):
+    _TRANSITION_HYPER_KEYS = (
+        "movement_variance", "p_move_to_jump", "p_jump_to_move",
+    )
+
+    def _build_transition(self, hyperparam):
         movement_variance = hyperparam.get("movement_variance", self.movement_variance)
         p_move_to_jump = hyperparam.get("p_move_to_jump", self.p_move_to_jump)
         p_jump_to_move = hyperparam.get("p_jump_to_move", self.p_jump_to_move)
@@ -142,6 +146,29 @@ class AbstractGPLVMJump1D(_GPLVMCommon):
             ma_latent = self.ma_latent_default
 
         trans, _ = self._make_transition(hyperparam)
+
+        # one-dispatch fast path: the whole decode as a single cached
+        # device program (base._decode_fused_prog)
+        prog = None if mesh is not None else self._decode_fused_prog(
+            hyperparam, n_time_per_chunk
+        )
+        if prog is not None:
+            res = prog(
+                jnp.asarray(y), tuning, dict(hyperparam), trans,
+                ma_neuron, ma_latent, likelihood_scale,
+            )
+            log_marginal_final = res.pop("_log_marginal_final")
+            if t_l is not None:
+                res["posterior_latent_marg"] = compat.tsdframe(
+                    d=np.asarray(res["posterior_latent_marg"]), t=t_l
+                )
+                res["posterior_dynamics_marg"] = compat.tsdframe(
+                    d=np.asarray(res["posterior_dynamics_marg"]), t=t_l
+                )
+            # single host sync, after all device work is enqueued
+            res["log_marginal_final"] = float(log_marginal_final)
+            return res
+
         (
             log_posterior_all, log_marginal_final, _log_causal,
             log_one_step_pred, log_acc, log_likelihood_all,
@@ -163,7 +190,6 @@ class AbstractGPLVMJump1D(_GPLVMCommon):
 
         decoding_res = {
             "log_posterior_all": log_posterior_all,
-            "log_marginal_final": float(log_marginal_final),
             "posterior_all": posterior_all,
             "posterior_latent_marg": posterior_latent_marg,
             "posterior_dynamics_marg": posterior_dynamics_marg,
@@ -172,6 +198,10 @@ class AbstractGPLVMJump1D(_GPLVMCommon):
         }
         if log_acc is not None:
             decoding_res.update(hmm.compute_transition_posterior_prob(log_acc))
+        # the float() host sync comes LAST, after everything above is
+        # enqueued: one overlapped wait instead of a mid-call stall
+        # (~30 ms per blocking sync through a remote tunnel)
+        decoding_res["log_marginal_final"] = float(log_marginal_final)
         return decoding_res
 
     # ------------------------------------------------------------------

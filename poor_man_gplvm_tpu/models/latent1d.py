@@ -72,7 +72,9 @@ class AbstractGPLVM1D(_GPLVMCommon):
             "movement_variance", self.movement_variance
         )
 
-    def _make_transition(self, hyperparam):
+    _TRANSITION_HYPER_KEYS = ("movement_variance",)
+
+    def _build_transition(self, hyperparam):
         movement_variance = hyperparam.get("movement_variance", self.movement_variance)
         kernel, log_kernel = gpk.create_transition_prob_latent_1d(
             self.possible_latent_bin, movement_variance,
@@ -117,6 +119,27 @@ class AbstractGPLVM1D(_GPLVMCommon):
             ma_latent = self.ma_latent_default
 
         trans, _ = self._make_transition(hyperparam)
+
+        # one-dispatch fast path (base._decode_fused_prog)
+        prog = None if mesh is not None else self._decode_fused_prog(
+            hyperparam, n_time_per_chunk
+        )
+        if prog is not None:
+            res = prog(
+                jnp.asarray(y), tuning, dict(hyperparam), trans,
+                ma_neuron, ma_latent, likelihood_scale,
+            )
+            log_marginal_final = res.pop("_log_marginal_final")
+            res.pop("posterior_latent_marg", None)
+            res.pop("posterior_dynamics_marg", None)
+            if t_l is not None:
+                res["posterior_all"] = compat.tsdframe(
+                    d=np.asarray(res["posterior_all"]), t=t_l
+                )
+            # single host sync, after all device work is enqueued
+            res["log_marginal_final"] = float(log_marginal_final)
+            return res
+
         (
             log_posterior_all, log_marginal_final, _log_causal,
             log_one_step_pred, log_acc, log_likelihood_all,
@@ -131,7 +154,6 @@ class AbstractGPLVM1D(_GPLVMCommon):
 
         decoding_res = {
             "log_posterior_all": log_posterior_all,
-            "log_marginal_final": float(log_marginal_final),
             "posterior_all": posterior_all,
             "log_one_step_predictive_marginals_all": log_one_step_pred,
             "log_likelihood_all": log_likelihood_all,
@@ -140,6 +162,8 @@ class AbstractGPLVM1D(_GPLVMCommon):
             decoding_res.update(
                 hmm.compute_transition_posterior_prob_latent(log_acc)
             )
+        # single host sync, after all device work above is enqueued
+        decoding_res["log_marginal_final"] = float(log_marginal_final)
         return decoding_res
 
     # ------------------------------------------------------------------

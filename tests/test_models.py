@@ -6,6 +6,7 @@ Mirrors the reference's de-facto integration test (reference README.md:99-169).
 
 import pickle
 
+import jax
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
@@ -379,3 +380,36 @@ def test_fused_em_no_recompile_across_dynamics_hyperparams():
     assert prog._cache_size() == 1
     # and the dynamics values genuinely steered the result
     assert len(set(lml)) == len(grid)
+
+
+def test_transition_cache_reuse_and_bust():
+    """Repeated decode/fit with the same dynamics hyperparams reuse the
+    built transition matrices (one kernel-builder dispatch per distinct
+    config — the builder's enqueue latency shows up on every decode call
+    through a remote tunnel); numeric overrides get their own entries and
+    results match a cache-free build."""
+    import jax.random as jr
+
+    m = pmg.PoissonGPLVMJump1D(6, n_latent_bin=8, movement_variance=1.0,
+                               tuning_lengthscale=3.0)
+    t1, _ = m._make_transition({})
+    t2, _ = m._make_transition({})
+    assert t1 is t2
+    t3, _ = m._make_transition({"movement_variance": 2.0})
+    assert t3 is not t1
+    # cached object == fresh build, leaf for leaf
+    fresh, _ = m._build_transition({"movement_variance": 2.0})
+    for a, b in zip(jax.tree.leaves(t3), jax.tree.leaves(fresh)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # decode twice: same answer, and the ctor-default entry is reused
+    _, spk = m.sample(200, key=jr.PRNGKey(0))
+    m.fit_em(spk, key=jr.PRNGKey(1), n_iter=2, verboase=False)
+    d1 = m.decode_latent(spk)
+    d2 = m.decode_latent(spk)
+    assert d1["log_marginal_final"] == d2["log_marginal_final"]
+    # custom transition kernels bypass the cache entirely
+    mc = pmg.PoissonGPLVM1D(
+        6, n_latent_bin=8, tuning_lengthscale=3.0,
+        custom_transition_kernel=np.eye(8, dtype=np.float32) * 0.9 + 0.0125,
+    )
+    assert mc._transition_cache_key({}) is None
