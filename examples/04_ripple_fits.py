@@ -8,7 +8,7 @@ import poor_man_gplvm_tpu as pmg
 from poor_man_gplvm_tpu.data import detect_population_bursts
 
 gen = pmg.PoissonGPLVMJump1D(20, n_latent_bin=15, tuning_lengthscale=3.0)
-_, spk = gen.sample(2000, key=jr.PRNGKey(0))
+_, spk = gen.sample(800, key=jr.PRNGKey(0))
 spk = np.asarray(spk)
 
 mua = spk.sum(axis=1)
