@@ -413,3 +413,42 @@ def test_transition_cache_reuse_and_bust():
         custom_transition_kernel=np.eye(8, dtype=np.float32) * 0.9 + 0.0125,
     )
     assert mc._transition_cache_key({}) is None
+
+
+def test_fused_decode_matches_manual_composition():
+    """decode_latent's one-dispatch fused program must equal composing
+    _smooth + prob-space transforms + transition posterior by hand (the
+    pre-fusion decode path), including under masks and overrides."""
+    import jax.random as jr
+    from poor_man_gplvm_tpu.ops import hmm
+
+    m = pmg.PoissonGPLVMJump1D(10, n_latent_bin=12, movement_variance=1.0,
+                               tuning_lengthscale=3.0)
+    _, spk = m.sample(150, key=jr.PRNGKey(0))
+    m.fit_em(spk, key=jr.PRNGKey(1), n_iter=2, verboase=False)
+
+    ma_lat = np.ones(12, dtype=np.float32)
+    ma_lat[:3] = 0.0
+    hyper = {"movement_variance": 2.0}
+    dec = m.decode_latent(spk, hyperparam=hyper,
+                          ma_latent=jnp.asarray(ma_lat))
+
+    trans, _ = m._make_transition(hyper)
+    (log_post, lmf, _lc, lpred, lacc, ll) = m._smooth(
+        jnp.asarray(spk), m.tuning, hyper, trans, m.ma_neuron_default,
+        jnp.asarray(ma_lat), 1.0, None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec["log_posterior_all"]), np.asarray(log_post),
+        rtol=0, atol=0,
+    )
+    assert dec["log_marginal_final"] == float(lmf)
+    np.testing.assert_allclose(
+        np.asarray(dec["posterior_latent_marg"]),
+        np.exp(np.asarray(log_post)).sum(axis=1), rtol=1e-6, atol=1e-7,
+    )
+    expected_tp = hmm.compute_transition_posterior_prob(lacc)
+    for k, v in expected_tp.items():
+        np.testing.assert_allclose(
+            np.asarray(dec[k]), np.asarray(v), rtol=1e-6, atol=1e-7,
+        )
