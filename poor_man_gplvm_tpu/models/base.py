@@ -385,6 +385,19 @@ class _GPLVMCommon(ABC):
         ws_spec = _hmm.parallel_scan_carry_spec(
             y_.shape[0], trans, engine
         )
+        # The warm-start plumbing (boundary carries + drift predictors +
+        # certificates threaded through the EM scan state) costs ~8 ms/iter
+        # of fixed overhead, while the pass savings scale with the per-pass
+        # matvec work ~ T*n_dyn*L^2.  Engage it only where the savings
+        # dominate (north-star: saves ~130 ms/iter; headline T=1e5 L=100:
+        # saves ~0.5 ms): measured crossover well below 5e10 work units.
+        # An explicit engine='pallas_parallel' keeps warm-start regardless
+        # (the user asked for the parallel engine; tests force it).
+        if ws_spec is not None and engine != "pallas_parallel":
+            n_dyn_ws = getattr(trans, "n_dyn", 1)
+            work = float(y_.shape[0]) * n_dyn_ws * trans.n_latent ** 2
+            if work < 5e10:
+                ws_spec = None
 
         def prog(carry, y_in, basis_in, trans_in, ma_n, ma_l, hyper_in,
                  scale_in):

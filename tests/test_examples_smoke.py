@@ -37,6 +37,15 @@ def _run_subprocess(path, extra_args=(), timeout=900, tmp_path=None):
     """Clean-interpreter run: the cold-start rot detector."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # The session image may bake a TPU platform plugin into sitecustomize
+    # that (a) registers whenever PALLAS_AXON_POOL_IPS is set — ignoring
+    # JAX_PLATFORMS — and (b) dials the device tunnel at interpreter boot,
+    # so a wedged tunnel hangs the subprocess before user code runs.  The
+    # smoke suite is a CPU cold-start check: drop the trigger vars so the
+    # plugin no-ops and the env var above actually selects the backend.
+    for _k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+               "AXON_LOOPBACK_RELAY"):
+        env.pop(_k, None)
     env["MPLBACKEND"] = "Agg"
     env.setdefault(
         "XLA_FLAGS",
