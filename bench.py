@@ -212,9 +212,13 @@ def main():
             downsample_n_repeat=3,
             verbose=False,
         )
-        # warm both backends, then time
+        # warm BOTH backends (they compile different program sets), then
+        # time each on its second run so neither pays compile time
         selection.model_selection_one_split(
             y_sel, backend="batched", **sel_kw
+        )
+        selection.model_selection_one_split(
+            y_sel, backend="serial", **sel_kw
         )
         t0 = time.time()
         selection.model_selection_one_split(

@@ -466,6 +466,13 @@ class _GPLVMCommon(ABC):
         fused_prog = cache.get(cache_key)
         if fused_prog is None:
             fused_prog = cache[cache_key] = jax.jit(prog)
+        # ``scan_ws``/the returned carry exist so a caller that runs several
+        # fused segments over the SAME data within one fit (e.g. a future
+        # checkpoint-every-k-iterations loop) can thread the converged
+        # boundary carries between segments.  fit_em's single segment
+        # deliberately passes None (cold seed) and discards the result:
+        # carries are only valid for identical (y, shapes, transitions),
+        # and across fit_em calls the data may change.
         if ws_spec is not None:
             ws0 = scan_ws if scan_ws is not None else (
                 jnp.zeros(ws_spec, jnp.float32),
@@ -753,10 +760,12 @@ class _GPLVMCommon(ABC):
                             diag_mid.pop("scan_emit_delta")
                         )
                         self._scan_emit_delta_mid = emit_delta
-                        if np.any(emit_delta > 1e-3):
-                            bad = int(
-                                np.argmax((emit_delta > 1e-3).any(axis=1))
-                            )
+                        # ~(x <= tol), not (x > tol): NaN residuals (a
+                        # diverged solve) must FAIL the certificate, and
+                        # NaN > tol is False while ~(NaN <= tol) is True
+                        bad_mask = ~(emit_delta <= 1e-3)
+                        if np.any(bad_mask):
+                            bad = int(np.argmax(bad_mask.any(axis=1)))
                             raise FloatingPointError(
                                 "parallel-scan warm-start certificate "
                                 f"failed at fused iteration {bad}: emit "

@@ -321,6 +321,28 @@ def _forward_scan_prob(ll, trans, carry, likelihood_scale):
     return post, prior, ratios, (p_last, logz)
 
 
+def forward_filter_lml(y, tuning, hyper, trans, ma_neuron, ma_latent,
+                       likelihood_scale=1.0, observation_model="poisson"):
+    """Forward-filter log marginal — the quantity ``decode_latent``
+    reports as ``log_marginal_final`` (the smoother does not change it).
+
+    One emission build + one prob-space forward scan; vmap-safe.  Shared
+    core of the downsampled-LML metric (reference
+    model_selection_helper.py:243-260): ``selection.get_downsampled_lml``
+    and ``parallel.sweep``'s batched evaluation both dispatch here so the
+    masked-LML semantics (emission hyper handling, carry init,
+    likelihood_scale) cannot drift apart."""
+    ll = get_loglikelihood_ma_all(
+        y, tuning, hyper, ma_neuron, ma_latent,
+        observation_model=observation_model,
+    )
+    carry0 = (
+        jnp.exp(trans.uniform_log_init()), jnp.array(0.0, dtype=jnp.float32)
+    )
+    *_, (_p, lml) = _forward_scan_prob(ll, trans, carry0, likelihood_scale)
+    return lml
+
+
 def _backward_scan_prob(p_filt_xs, p_prior_xs, trans, p_smooth_init):
     def step(p_smooth_next, x):
         p_filt_t, p_prior_next = x

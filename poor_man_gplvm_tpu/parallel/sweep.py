@@ -455,7 +455,11 @@ def _single_run_em_modelclass(
 @lru_cache(maxsize=64)
 def _batched_modelclass_program(model_class_str, hp_keys, n_iter,
                                 n_latent_bin, m_step_size, m_maxiter, m_tol,
-                                likelihood_scale, random_scale):
+                                likelihood_scale, random_scale,
+                                basis_batched=False):
+    """``basis_batched``: basis enters with a leading batch axis (one per
+    run) instead of shared — used when runs in one shape bucket differ by
+    tuning_lengthscale at equal rank."""
     run = partial(
         _single_run_em_modelclass,
         model_class_str=model_class_str, n_iter=n_iter,
@@ -467,7 +471,9 @@ def _batched_modelclass_program(model_class_str, hp_keys, n_iter,
     def one(y, basis, params0, hp_tuple, key):
         return run(y, basis, params0, dict(zip(hp_keys, hp_tuple)), key)
 
-    return jax.jit(jax.vmap(one, in_axes=(None, None, None, 0, 0)))
+    return jax.jit(jax.vmap(
+        one, in_axes=(None, 0 if basis_batched else None, None, 0, 0)
+    ))
 
 
 def sweep_fit_model_class(
@@ -558,9 +564,10 @@ def sweep_fit_model_class(
             res = prog(y, bases[bk0], params0[(nb,)], hp_stack, keys_stack)
         else:
             basis_stack = jnp.stack([bases[b] for b in bks])
-            prog_b = _batched_modelclass_program_batched_basis(
+            prog_b = _batched_modelclass_program(
                 model_class_str, tuple(hp_names), n_iter, L, m_step_size,
                 m_maxiter, m_tol, likelihood_scale, random_scale,
+                basis_batched=True,
             )
             res = prog_b(
                 y, basis_stack, params0[(nb,)], hp_stack, keys_stack
@@ -568,25 +575,6 @@ def sweep_fit_model_class(
         for j, i in enumerate(idxs):
             per_run[i] = {k: v[j] for k, v in res.items()}
     return per_run
-
-
-@lru_cache(maxsize=64)
-def _batched_modelclass_program_batched_basis(
-    model_class_str, hp_keys, n_iter, n_latent_bin, m_step_size, m_maxiter,
-    m_tol, likelihood_scale, random_scale,
-):
-    run = partial(
-        _single_run_em_modelclass,
-        model_class_str=model_class_str, n_iter=n_iter,
-        n_latent_bin=n_latent_bin, m_step_size=m_step_size,
-        m_maxiter=m_maxiter, m_tol=m_tol,
-        likelihood_scale=likelihood_scale, random_scale=random_scale,
-    )
-
-    def one(y, basis, params0, hp_tuple, key):
-        return run(y, basis, params0, dict(zip(hp_keys, hp_tuple)), key)
-
-    return jax.jit(jax.vmap(one, in_axes=(None, 0, None, 0, 0)))
 
 
 def _emission_hyper(model_class_str, hp):
@@ -628,18 +616,16 @@ def _single_masked_lml(y_test, tuning, hp, ma_latent, *, model_class_str,
     """Forward-filter log marginal under a latent mask — the quantity
     ``decode_latent(ma_latent=...)`` reports as log_marginal_final
     (the smoother does not change it)."""
+    from poor_man_gplvm_tpu.ops import hmm as _hmm
+
     _, is_poisson = _family(model_class_str)
     trans = _make_trans(model_class_str, hp, n_latent_bin)
-    ll = get_loglikelihood_ma_all(
-        y_test, tuning, _emission_hyper(model_class_str, hp),
+    return _hmm.forward_filter_lml(
+        y_test, tuning, _emission_hyper(model_class_str, hp), trans,
         jnp.ones_like(y_test), ma_latent,
+        likelihood_scale=likelihood_scale,
         observation_model="poisson" if is_poisson else "gaussian",
     )
-    carry0 = (
-        jnp.exp(trans.uniform_log_init()), jnp.array(0.0, dtype=jnp.float32)
-    )
-    *_, (_p, lml) = _forward_scan_prob(ll, trans, carry0, likelihood_scale)
-    return lml
 
 
 @lru_cache(maxsize=64)

@@ -658,7 +658,7 @@ def get_downsampled_lml(
     if not kwargs:
         import jax
 
-        from poor_man_gplvm_tpu.ops import emissions, hmm
+        from poor_man_gplvm_tpu.ops import hmm
 
         hyper = {}
         if hasattr(model_fit, "noise_std"):
@@ -670,16 +670,11 @@ def get_downsampled_lml(
         y_test = jnp.asarray(y_test, dtype=jnp.float32)
 
         def one(mask):
-            ll = emissions.get_loglikelihood_ma_all(
-                y_test, tuning, hyper, jnp.ones_like(y_test) * ma_neuron,
-                mask, observation_model=obs,
+            return hmm.forward_filter_lml(
+                y_test, tuning, hyper, trans,
+                jnp.ones_like(y_test) * ma_neuron, mask,
+                observation_model=obs,
             )
-            carry0 = (
-                jnp.exp(trans.uniform_log_init()),
-                jnp.array(0.0, dtype=jnp.float32),
-            )
-            *_, (_p, lml) = hmm._forward_scan_prob(ll, trans, carry0, 1.0)
-            return lml
 
         lml_l = np.asarray(jax.jit(jax.vmap(one))(masks))
     else:

@@ -226,7 +226,12 @@ class Tsd(_TimeIndexed):
         runs = _contiguous_runs(cond)
         starts = np.array([self.t[a] for a, b in runs])
         ends = np.array([self.t[b - 1] for a, b in runs])
-        support = IntervalSet(starts, ends)
+        # index-adjacency runs alone over-merge on an already-restricted
+        # Tsd (e.g. a second chained .threshold): two samples adjacent in
+        # self.t can straddle a gap in self.time_support.  Intersecting
+        # with the existing support splits such runs at the gaps, matching
+        # pynapple (threshold epochs live inside the parent's support).
+        support = IntervalSet(starts, ends).intersect(self.time_support)
         return Tsd(d=self.d[cond], t=self.t[cond], time_support=support)
 
     def value_from(self, tsd):

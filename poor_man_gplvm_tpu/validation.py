@@ -45,7 +45,7 @@ def circular_shuffle_data(spk_tsdf, n_shuffle=100, ep=None, seed=None):
 def shuffle_and_decode(model, spk_tsdf, n_time_per_chunk=10000, dt_l=1,
                        n_shuffle=100, ep=None, decoder_type="naive_bayes",
                        seed=None, verbose=True, batched=True,
-                       shuffle_batch_size=16):
+                       shuffle_batch_size=16, memory_mode=None):
     """Decode each circular shuffle; stack result dicts over shuffles
     (reference test.py:27-45).
 
@@ -54,7 +54,10 @@ def shuffle_and_decode(model, spk_tsdf, n_time_per_chunk=10000, dt_l=1,
     per shuffle — each sequential scan step then advances all shuffles as
     one batched matmul, so an n_shuffle=100 null costs a handful of device
     programs (VERDICT round-2 next #7).  Same shuffle stream (identical
-    rng consumption) and same stacked result dict as the serial loop."""
+    rng consumption) and same stacked result dict as the serial loop.
+    ``memory_mode`` passes through to the smoother ('auto' when None);
+    under checkpoint/filter modes ``log_likelihood_all`` is None, matching
+    ``decode_latent``."""
     if not batched:
         y_shuffled_l = circular_shuffle_data(
             spk_tsdf, n_shuffle=n_shuffle, ep=ep, seed=seed
@@ -133,6 +136,7 @@ def shuffle_and_decode(model, spk_tsdf, n_time_per_chunk=10000, dt_l=1,
                 y, tuning, hyper, trans, ma_neuron, ma_latent,
                 n_time_per_chunk=n_time_per_chunk, observation_model=obs,
                 engine=engine,
+                memory_mode=memory_mode if memory_mode else "auto",
             )
             tp = (
                 hmm.compute_transition_posterior_prob(acc) if has_dyn
@@ -152,7 +156,11 @@ def shuffle_and_decode(model, spk_tsdf, n_time_per_chunk=10000, dt_l=1,
                 "log_marginal_final": np.asarray(lml),
                 "posterior_all": post,
                 "log_one_step_predictive_marginals_all": np.asarray(ratios),
-                "log_likelihood_all": np.asarray(ll),
+                # None under checkpoint/filter memory modes (auto-selected
+                # at large T*L) — keep the key with None like decode_latent
+                "log_likelihood_all": (
+                    np.asarray(ll) if ll is not None else None
+                ),
             }
             if has_dyn:
                 batch["posterior_latent_marg"] = post.sum(axis=2)
@@ -161,7 +169,10 @@ def shuffle_and_decode(model, spk_tsdf, n_time_per_chunk=10000, dt_l=1,
             out_batches.append(batch)
 
     return {
-        k: np.concatenate([b[k] for b in out_batches], axis=0)
+        k: (
+            np.concatenate([b[k] for b in out_batches], axis=0)
+            if out_batches[0][k] is not None else None
+        )
         for k in out_batches[0]
     }
 

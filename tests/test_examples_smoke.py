@@ -74,19 +74,31 @@ def _run_subprocess(path, extra_args=(), timeout=900, tmp_path=None):
     return proc
 
 
-def _run_inprocess(path, extra_args=(), tmp_path=None):
+def _run_inprocess(path, extra_args=(), tmp_path=None, timeout=900):
     """Run a target script in this process under a patched argv/cwd.
 
     runpy.run_path with run_name='__main__' executes module-level code AND
     any ``if __name__ == '__main__'`` guard, so CLI parsing and the full
     driver flow are exercised exactly as a real invocation — minus the
-    interpreter cold start.
+    interpreter cold start.  A SIGALRM watchdog preserves the per-target
+    hard timeout the subprocess runner had: a hung target (device wait,
+    deadlock) fails this one test instead of hanging the whole suite.
     """
+    import signal
+
     import matplotlib
 
     matplotlib.use("Agg")
     old_argv, old_cwd = sys.argv, os.getcwd()
     sys.argv = [path, *extra_args]
+
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"{os.path.basename(path)} exceeded {timeout}s (in-process)"
+        )
+
+    old_handler = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(timeout)
     try:
         if tmp_path is not None:
             os.chdir(str(tmp_path))
@@ -97,6 +109,8 @@ def _run_inprocess(path, extra_args=(), tmp_path=None):
                 f"{os.path.basename(path)} exited with {e.code}"
             )
     finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_handler)
         sys.argv = old_argv
         os.chdir(old_cwd)
         import matplotlib.pyplot as plt

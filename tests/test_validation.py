@@ -138,6 +138,22 @@ def test_interval_set_algebra():
     np.testing.assert_allclose([uni.start[0], uni.end[0]], [0.0, 8.0])
 
 
+def test_threshold_respects_support_gaps():
+    """Chained thresholds: runs may not merge across gaps in the parent's
+    time support (pynapple semantics; a second .threshold on an already-
+    filtered Tsd sees gap-straddling samples as index-adjacent)."""
+    t = np.arange(12, dtype=float)
+    d = np.array([0, 5, 5, 0, 0, 5, 5, 0, 5, 5, 0, 0], dtype=float)
+    hi = Tsd(d=d, t=t).threshold(4, method="aboveequal")
+    assert len(hi.time_support) == 3
+    # all kept samples satisfy the second condition -> one index run,
+    # which must still split into the three support intervals
+    both = hi.threshold(6, method="belowequal")
+    assert len(both.time_support) == 3
+    np.testing.assert_allclose(both.time_support.start, [1.0, 5.0, 8.0])
+    np.testing.assert_allclose(both.time_support.end, [2.0, 6.0, 9.0])
+
+
 def test_ts_value_from():
     src = Tsd(d=np.arange(10, dtype=float), t=np.arange(10, dtype=float))
     ts = Ts(np.array([0.1, 4.9, 7.2]))
@@ -177,3 +193,25 @@ def test_shuffle_and_decode_batched_equals_serial(decoder_type):
             b[mask], a[mask], rtol=2e-4, atol=1e-5, err_msg=k
         )
         assert (np.isfinite(b) == mask).all(), k
+
+
+def test_shuffle_and_decode_batched_nonfull_memory_mode():
+    """Regression: at large T*L the smoother auto-selects checkpoint/filter
+    memory modes whose log_likelihood_all is None; the batched path must
+    return the key as None (like decode_latent) instead of crashing in
+    np.concatenate."""
+    model = pmg.PoissonGPLVMJump1D(6, n_latent_bin=8, tuning_lengthscale=2.0)
+    _, y = model.sample(60, key=jr.PRNGKey(0))
+    res = validation.shuffle_and_decode(
+        model, np.asarray(y), n_shuffle=3, seed=3, verbose=False,
+        decoder_type="dynamics", batched=True, shuffle_batch_size=2,
+        memory_mode="checkpoint",
+    )
+    assert res["log_likelihood_all"] is None
+    full = validation.shuffle_and_decode(
+        model, np.asarray(y), n_shuffle=3, seed=3, verbose=False,
+        decoder_type="dynamics", batched=True, shuffle_batch_size=2,
+    )
+    np.testing.assert_allclose(
+        res["log_marginal_final"], full["log_marginal_final"], rtol=1e-5
+    )

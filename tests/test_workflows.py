@@ -284,6 +284,23 @@ def test_get_time_of_arrival_based_one_position():
     assert np.all(109 <= np.interp(arrivals.t, t, lin))
     assert np.all(np.interp(arrivals.t, t, lin) <= 113.5)
 
+    # regression: two visits separated by a dip BELOW the band.  The first
+    # chained threshold drops the dip samples, leaving the two visits
+    # index-adjacent; the second threshold must still report two epochs
+    # (the runs must respect the gap in the restricted time support).
+    lin2 = np.concatenate([
+        np.full(10, 100.0), np.full(10, 111.0),  # visit 1
+        np.full(10, 100.0),                      # dip below the band
+        np.full(10, 111.0), np.full(10, 100.0),  # visit 2
+    ])
+    t2 = np.arange(len(lin2)) * 0.1
+    pos2 = TsdFrame(d=lin2[:, None], t=t2, columns=["lin"])
+    arrivals2 = tmz.get_time_of_arrival_based_one_position(
+        pos2, lin_range=(109, 113)
+    )
+    assert len(arrivals2.t) == 2
+    np.testing.assert_allclose(arrivals2.t, [1.0, 3.0])
+
 
 def test_plot_latent_helpers(tmaze_sim):
     import matplotlib
