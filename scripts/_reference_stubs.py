@@ -42,10 +42,24 @@ def install_reference_stubs():
 
     Returns True if the reference package directory exists."""
     pynapple_stub = types.ModuleType("pynapple")
-    pynapple_stub.TsdFrame = _NeverInstance
-    pynapple_stub.Tsd = _NeverInstance
-    pynapple_stub.Ts = _NeverInstance
-    pynapple_stub.IntervalSet = _NeverInstance
+    try:
+        # functional stand-in: the repo's pynapple-compatible timeseries
+        # layer.  isinstance(numpy_input, Tsd) stays False (the reference's
+        # nap branches are still skipped for array inputs), but reference
+        # code that CONSTRUCTS nap objects (e.g. analysis_helper.py:385-387
+        # returning nap.Ts) now runs — which also cross-validates the
+        # compat layer against real reference call sites.
+        from poor_man_gplvm_tpu.utils import timeseries as _ts
+
+        pynapple_stub.TsdFrame = _ts.TsdFrame
+        pynapple_stub.Tsd = _ts.Tsd
+        pynapple_stub.Ts = _ts.Ts
+        pynapple_stub.IntervalSet = _ts.IntervalSet
+    except Exception:  # repo package unavailable: inert placeholders
+        pynapple_stub.TsdFrame = _NeverInstance
+        pynapple_stub.Tsd = _NeverInstance
+        pynapple_stub.Ts = _NeverInstance
+        pynapple_stub.IntervalSet = _NeverInstance
     pynapple_stub.__pmg_reference_stub__ = True
     sys.modules.setdefault("pynapple", pynapple_stub)
 
