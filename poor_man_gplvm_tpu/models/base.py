@@ -28,6 +28,56 @@ from poor_man_gplvm_tpu.ops.basis import generate_basis
 from poor_man_gplvm_tpu.utils import compat
 
 
+def build_decode_prog(observation_model, engine, has_dyn, n_time_per_chunk,
+                      memory_mode=None):
+    """Build the (unjitted) one-dispatch decode program: smoother +
+    prob-space transforms + transition posterior, as one traceable
+    function of ``(y, tuning, hyper, trans, ma_neuron, ma_latent,
+    likelihood_scale)``.
+
+    This is the single definition of decode's result-dict contract
+    (reference core.py:454-497 keys, with the final log-marginal under
+    the private key ``_log_marginal_final`` so callers control the host
+    sync).  ``_GPLVMCommon._decode_fused_prog`` jits it per model config;
+    ``validation.shuffle_and_decode`` vmaps it over shuffles — sharing it
+    keeps the per-shuffle stacked dicts locked to ``decode_latent``'s
+    keys."""
+
+    def _prog(y, tuning, hyper, trans, ma_neuron, ma_latent,
+              likelihood_scale):
+        kw = {} if memory_mode is None else {"memory_mode": memory_mode}
+        (
+            log_post, log_marginal_final, _log_causal,
+            log_one_step_pred, log_acc, log_likelihood_all,
+        ) = hmm.smooth_combined_chunked(
+            y, tuning, hyper, trans, ma_neuron, ma_latent,
+            likelihood_scale=likelihood_scale,
+            n_time_per_chunk=n_time_per_chunk,
+            observation_model=observation_model, engine=engine, **kw,
+        )
+        posterior_all = jnp.exp(log_post)
+        res = {
+            "log_posterior_all": log_post,
+            "posterior_all": posterior_all,
+            "log_one_step_predictive_marginals_all": log_one_step_pred,
+            "log_likelihood_all": log_likelihood_all,
+            "_log_marginal_final": log_marginal_final,
+        }
+        if has_dyn:
+            res["posterior_latent_marg"] = posterior_all.sum(axis=1)
+            res["posterior_dynamics_marg"] = posterior_all.sum(axis=2)
+            if log_acc is not None:
+                res.update(hmm.compute_transition_posterior_prob(log_acc))
+        else:
+            if log_acc is not None:
+                res.update(
+                    hmm.compute_transition_posterior_prob_latent(log_acc)
+                )
+        return res
+
+    return _prog
+
+
 class _GPLVMCommon(ABC):
     """Template shared by latent-only and jump models."""
 
@@ -241,47 +291,54 @@ class _GPLVMCommon(ABC):
             cache = self._fused_prog_cache = {}
         prog = cache.get(static_key)
         if prog is None:
-            obs = self.observation_model
-            engine = self.inference_engine
-            has_dyn = self.has_dynamics
-
-            def _prog(y, tuning, hyper, trans, ma_neuron, ma_latent,
-                      likelihood_scale):
-                (
-                    log_post, log_marginal_final, _log_causal,
-                    log_one_step_pred, log_acc, log_likelihood_all,
-                ) = hmm.smooth_combined_chunked(
-                    y, tuning, hyper, trans, ma_neuron, ma_latent,
-                    likelihood_scale=likelihood_scale,
-                    n_time_per_chunk=n_time_per_chunk,
-                    observation_model=obs, engine=engine,
-                )
-                posterior_all = jnp.exp(log_post)
-                res = {
-                    "log_posterior_all": log_post,
-                    "posterior_all": posterior_all,
-                    "log_one_step_predictive_marginals_all": log_one_step_pred,
-                    "log_likelihood_all": log_likelihood_all,
-                    "_log_marginal_final": log_marginal_final,
-                }
-                if has_dyn:
-                    res["posterior_latent_marg"] = posterior_all.sum(axis=1)
-                    res["posterior_dynamics_marg"] = posterior_all.sum(axis=2)
-                    if log_acc is not None:
-                        res.update(
-                            hmm.compute_transition_posterior_prob(log_acc)
-                        )
-                else:
-                    if log_acc is not None:
-                        res.update(
-                            hmm.compute_transition_posterior_prob_latent(
-                                log_acc
-                            )
-                        )
-                return res
-
-            prog = cache[static_key] = jax.jit(_prog)
+            prog = cache[static_key] = jax.jit(build_decode_prog(
+                self.observation_model, self.inference_engine,
+                self.has_dynamics, n_time_per_chunk,
+            ))
         return prog
+
+    def _decode_dispatch(
+        self, y, tuning, hyperparam, trans, ma_neuron, ma_latent,
+        likelihood_scale, n_time_per_chunk, t_l, mesh, tsd_wrap_keys,
+        build_res,
+    ):
+        """Shared decode_latent driver for both model families: try the
+        one-dispatch fused program (skipped under a mesh), else fall back
+        to the composed smoother path.  ``tsd_wrap_keys`` are the fast-path
+        result keys wrapped as TsdFrames when ``t_l`` is given;
+        ``build_res(log_posterior_all, log_one_step_pred, log_acc,
+        log_likelihood_all)`` builds the family-specific slow-path dict.
+        In both paths the ``float()`` host sync comes LAST, after all
+        device work is enqueued — one overlapped wait instead of a
+        mid-call stall (~30 ms per blocking sync through a remote
+        tunnel)."""
+        prog = None if mesh is not None else self._decode_fused_prog(
+            hyperparam, n_time_per_chunk
+        )
+        if prog is not None:
+            res = prog(
+                jnp.asarray(y), tuning, dict(hyperparam), trans,
+                ma_neuron, ma_latent, likelihood_scale,
+            )
+            log_marginal_final = res.pop("_log_marginal_final")
+            if t_l is not None:
+                for k in tsd_wrap_keys:
+                    res[k] = compat.tsdframe(d=np.asarray(res[k]), t=t_l)
+            res["log_marginal_final"] = float(log_marginal_final)
+            return res
+
+        (
+            log_posterior_all, log_marginal_final, _log_causal,
+            log_one_step_pred, log_acc, log_likelihood_all,
+        ) = self._smooth(
+            jnp.asarray(y), tuning, hyperparam, trans, ma_neuron, ma_latent,
+            likelihood_scale, n_time_per_chunk, mesh=mesh,
+        )
+        decoding_res = build_res(
+            log_posterior_all, log_one_step_pred, log_acc, log_likelihood_all
+        )
+        decoding_res["log_marginal_final"] = float(log_marginal_final)
+        return decoding_res
 
     def predict_expected_rate(self, post_latent_marg, tuning=None):
         """Expected firing rate under the latent posterior

@@ -147,62 +147,35 @@ class AbstractGPLVMJump1D(_GPLVMCommon):
 
         trans, _ = self._make_transition(hyperparam)
 
-        # one-dispatch fast path: the whole decode as a single cached
-        # device program (base._decode_fused_prog)
-        prog = None if mesh is not None else self._decode_fused_prog(
-            hyperparam, n_time_per_chunk
-        )
-        if prog is not None:
-            res = prog(
-                jnp.asarray(y), tuning, dict(hyperparam), trans,
-                ma_neuron, ma_latent, likelihood_scale,
-            )
-            log_marginal_final = res.pop("_log_marginal_final")
+        def build_res(log_posterior_all, log_one_step_pred, log_acc,
+                      log_likelihood_all):
+            posterior_all = jnp.exp(log_posterior_all)
+            posterior_latent_marg = jnp.sum(posterior_all, axis=1)
+            posterior_dynamics_marg = jnp.sum(posterior_all, axis=2)
             if t_l is not None:
-                res["posterior_latent_marg"] = compat.tsdframe(
-                    d=np.asarray(res["posterior_latent_marg"]), t=t_l
+                posterior_latent_marg = compat.tsdframe(
+                    d=np.asarray(posterior_latent_marg), t=t_l
                 )
-                res["posterior_dynamics_marg"] = compat.tsdframe(
-                    d=np.asarray(res["posterior_dynamics_marg"]), t=t_l
+                posterior_dynamics_marg = compat.tsdframe(
+                    d=np.asarray(posterior_dynamics_marg), t=t_l
                 )
-            # single host sync, after all device work is enqueued
-            res["log_marginal_final"] = float(log_marginal_final)
+            res = {
+                "log_posterior_all": log_posterior_all,
+                "posterior_all": posterior_all,
+                "posterior_latent_marg": posterior_latent_marg,
+                "posterior_dynamics_marg": posterior_dynamics_marg,
+                "log_one_step_predictive_marginals_all": log_one_step_pred,
+                "log_likelihood_all": log_likelihood_all,
+            }
+            if log_acc is not None:
+                res.update(hmm.compute_transition_posterior_prob(log_acc))
             return res
 
-        (
-            log_posterior_all, log_marginal_final, _log_causal,
-            log_one_step_pred, log_acc, log_likelihood_all,
-        ) = self._smooth(
-            jnp.asarray(y), tuning, hyperparam, trans, ma_neuron, ma_latent,
-            likelihood_scale, n_time_per_chunk, mesh=mesh,
+        return self._decode_dispatch(
+            y, tuning, hyperparam, trans, ma_neuron, ma_latent,
+            likelihood_scale, n_time_per_chunk, t_l, mesh,
+            ("posterior_latent_marg", "posterior_dynamics_marg"), build_res,
         )
-
-        posterior_all = jnp.exp(log_posterior_all)
-        posterior_latent_marg = jnp.sum(posterior_all, axis=1)
-        posterior_dynamics_marg = jnp.sum(posterior_all, axis=2)
-        if t_l is not None:
-            posterior_latent_marg = compat.tsdframe(
-                d=np.asarray(posterior_latent_marg), t=t_l
-            )
-            posterior_dynamics_marg = compat.tsdframe(
-                d=np.asarray(posterior_dynamics_marg), t=t_l
-            )
-
-        decoding_res = {
-            "log_posterior_all": log_posterior_all,
-            "posterior_all": posterior_all,
-            "posterior_latent_marg": posterior_latent_marg,
-            "posterior_dynamics_marg": posterior_dynamics_marg,
-            "log_one_step_predictive_marginals_all": log_one_step_pred,
-            "log_likelihood_all": log_likelihood_all,
-        }
-        if log_acc is not None:
-            decoding_res.update(hmm.compute_transition_posterior_prob(log_acc))
-        # the float() host sync comes LAST, after everything above is
-        # enqueued: one overlapped wait instead of a mid-call stall
-        # (~30 ms per blocking sync through a remote tunnel)
-        decoding_res["log_marginal_final"] = float(log_marginal_final)
-        return decoding_res
 
     # ------------------------------------------------------------------
     def sample_latent(

@@ -120,51 +120,30 @@ class AbstractGPLVM1D(_GPLVMCommon):
 
         trans, _ = self._make_transition(hyperparam)
 
-        # one-dispatch fast path (base._decode_fused_prog)
-        prog = None if mesh is not None else self._decode_fused_prog(
-            hyperparam, n_time_per_chunk
-        )
-        if prog is not None:
-            res = prog(
-                jnp.asarray(y), tuning, dict(hyperparam), trans,
-                ma_neuron, ma_latent, likelihood_scale,
-            )
-            log_marginal_final = res.pop("_log_marginal_final")
-            res.pop("posterior_latent_marg", None)
-            res.pop("posterior_dynamics_marg", None)
+        def build_res(log_posterior_all, log_one_step_pred, log_acc,
+                      log_likelihood_all):
+            posterior_all = jnp.exp(log_posterior_all)
             if t_l is not None:
-                res["posterior_all"] = compat.tsdframe(
-                    d=np.asarray(res["posterior_all"]), t=t_l
+                posterior_all = compat.tsdframe(
+                    d=np.asarray(posterior_all), t=t_l
                 )
-            # single host sync, after all device work is enqueued
-            res["log_marginal_final"] = float(log_marginal_final)
+            res = {
+                "log_posterior_all": log_posterior_all,
+                "posterior_all": posterior_all,
+                "log_one_step_predictive_marginals_all": log_one_step_pred,
+                "log_likelihood_all": log_likelihood_all,
+            }
+            if log_acc is not None:
+                res.update(
+                    hmm.compute_transition_posterior_prob_latent(log_acc)
+                )
             return res
 
-        (
-            log_posterior_all, log_marginal_final, _log_causal,
-            log_one_step_pred, log_acc, log_likelihood_all,
-        ) = self._smooth(
-            jnp.asarray(y), tuning, hyperparam, trans, ma_neuron, ma_latent,
-            likelihood_scale, n_time_per_chunk, mesh=mesh,
+        return self._decode_dispatch(
+            y, tuning, hyperparam, trans, ma_neuron, ma_latent,
+            likelihood_scale, n_time_per_chunk, t_l, mesh,
+            ("posterior_all",), build_res,
         )
-
-        posterior_all = jnp.exp(log_posterior_all)
-        if t_l is not None:
-            posterior_all = compat.tsdframe(d=np.asarray(posterior_all), t=t_l)
-
-        decoding_res = {
-            "log_posterior_all": log_posterior_all,
-            "posterior_all": posterior_all,
-            "log_one_step_predictive_marginals_all": log_one_step_pred,
-            "log_likelihood_all": log_likelihood_all,
-        }
-        if log_acc is not None:
-            decoding_res.update(
-                hmm.compute_transition_posterior_prob_latent(log_acc)
-            )
-        # single host sync, after all device work above is enqueued
-        decoding_res["log_marginal_final"] = float(log_marginal_final)
-        return decoding_res
 
     # ------------------------------------------------------------------
     def sample_latent(self, T, key=None, movement_variance=1, init_latent=None):

@@ -112,91 +112,43 @@ def evaluate_model_one_config(
     key = jr.PRNGKey(1) if key is None else key
     latent_downsample_frac = list(latent_downsample_frac)
     metric_type_l = list(metric_type_l)
-    model_eval_result = {}
 
     decoding_res_l = [
         m.decode_latent(y_test, n_time_per_chunk=n_time_per_chunk)
         for m in model_fit_l
     ]
 
-    if "log_marginal_test" in metric_type_l:
-        vals = np.array([d["log_marginal_final"] for d in decoding_res_l])
-        model_eval_result["log_marginal_test"] = {
-            "value_per_fit": vals, "best_value": None, "best_index": None,
-        }
-
-    if "log_one_step_predictive_marginal_test" in metric_type_l:
-        vals = np.array(
-            [
-                float(np.asarray(d["log_one_step_predictive_marginals_all"]).sum())
-                for d in decoding_res_l
-            ]
-        )
-        model_eval_result["log_one_step_predictive_marginal_test"] = {
-            "value_per_fit": vals, "best_value": None, "best_index": None,
-        }
-
+    lml_test = [float(d["log_marginal_final"]) for d in decoding_res_l]
+    one_step_sum = [
+        float(np.asarray(d["log_one_step_predictive_marginals_all"]).sum())
+        for d in decoding_res_l
+    ]
+    dyn_marg_l = (
+        [np.asarray(d["posterior_dynamics_marg"]) for d in decoding_res_l]
+        if "jump_consensus" in metric_type_l
+        else None
+    )
+    masked_lml_per_frac = {}
     if "downsampled_lml" in metric_type_l:
         for frac in latent_downsample_frac:
-            vals = []
-            for m in model_fit_l:
-                res = get_downsampled_lml(
-                    m, y_test, downsample_frac=frac,
-                    n_repeat=downsample_n_repeat, key=key,
+            masked_lml_per_frac[frac] = [
+                np.array(
+                    [
+                        get_downsampled_lml(
+                            m, y_test, downsample_frac=frac,
+                            n_repeat=downsample_n_repeat, key=key,
+                        )["value"]
+                    ]
                 )
-                vals.append(res["value"])
-            model_eval_result[f"downsampled_lml_{frac}"] = {
-                "value_per_fit": np.array(vals),
-                "best_value": None, "best_index": None,
-            }
-
-    if "jump_consensus" in metric_type_l:
-        window_sizes = (
-            [jump_consensus_window_size]
-            if isinstance(jump_consensus_window_size, int)
-            else list(jump_consensus_window_size)
-        )
-        jump_p_all_chain = np.array(
-            [
-                np.asarray(d["posterior_dynamics_marg"])[:, jump_dynamics_index]
-                for d in decoding_res_l
+                for m in model_fit_l
             ]
-        ).T  # n_time x n_chain
-        for ws in window_sizes:
-            name = (
-                "jump_consensus"
-                if isinstance(jump_consensus_window_size, int)
-                else f"jump_consensus_{ws}"
-            )
-            vals = []
-            for jump_p in jump_p_all_chain.T:
-                frac_consensus, _, _ = get_jump_consensus(
-                    jump_p, jump_p_all_chain, window_size=ws,
-                    jump_p_thresh=jump_consensus_jump_p_thresh,
-                    consensus_thresh=jump_consensus_consensus_thresh,
-                )
-                vals.append(frac_consensus)
-            model_eval_result[name] = {
-                "value_per_fit": np.array(vals),
-                "best_value": None, "best_index": None,
-            }
 
-    # overall = mean of downsampled-lml metrics
-    value_per_fit = np.zeros(len(model_fit_l))
-    for frac in latent_downsample_frac:
-        value_per_fit += model_eval_result[f"downsampled_lml_{frac}"][
-            "value_per_fit"
-        ]
-    value_per_fit /= len(latent_downsample_frac)
-    model_eval_result["metric_overall"] = {
-        "value_per_fit": value_per_fit, "best_value": None, "best_index": None,
-    }
-
-    for k in model_eval_result:
-        vals = model_eval_result[k]["value_per_fit"]
-        model_eval_result[k]["best_value"] = np.max(vals)
-        model_eval_result[k]["best_index"] = int(np.argmax(vals))
-    return model_eval_result
+    return _assemble_eval_from_parts(
+        lml_test, one_step_sum, dyn_marg_l, masked_lml_per_frac,
+        metric_type_l, latent_downsample_frac, jump_dynamics_index,
+        jump_consensus_window_size, jump_consensus_jump_p_thresh,
+        jump_consensus_consensus_thresh,
+    )
 
 
 #: fit_em kwargs the batched backend honors (all other keys force the
@@ -404,9 +356,15 @@ def _assemble_eval_from_parts(
     latent_downsample_frac, jump_dynamics_index, jump_consensus_window_size,
     jump_consensus_jump_p_thresh, jump_consensus_consensus_thresh,
 ):
-    """Metric assembly identical to ``evaluate_model_one_config``
-    (reference model_selection_helper.py:62-143), from batched decode
-    outputs for ONE config's chains."""
+    """Shared metric assembly for ONE config's chains (reference
+    model_selection_helper.py:62-143): both the serial
+    ``evaluate_model_one_config`` and the batched backend feed per-chain
+    scalars/arrays here, so the metric definitions cannot drift apart.
+
+    ``masked_lml_per_frac[frac][chain]`` is an array of masked-decode
+    LMLs (one per mask repeat, or a 1-element array of the pre-averaged
+    value from the serial path); ``dyn_marg_l`` may be None when no jump
+    metric is requested."""
     n_chain = len(lml_test)
     model_eval_result = {}
     if "log_marginal_test" in metric_type_l:
@@ -428,7 +386,7 @@ def _assemble_eval_from_parts(
             model_eval_result[f"downsampled_lml_{frac}"] = {
                 "value_per_fit": vals, "best_value": None, "best_index": None,
             }
-    if "jump_consensus" in metric_type_l:
+    if "jump_consensus" in metric_type_l and dyn_marg_l is not None:
         window_sizes = (
             [jump_consensus_window_size]
             if isinstance(jump_consensus_window_size, int)
@@ -455,12 +413,27 @@ def _assemble_eval_from_parts(
                 "value_per_fit": np.array(vals),
                 "best_value": None, "best_index": None,
             }
-    value_per_fit = np.zeros(n_chain)
-    for frac in latent_downsample_frac:
-        value_per_fit += model_eval_result[f"downsampled_lml_{frac}"][
-            "value_per_fit"
-        ]
-    value_per_fit /= len(latent_downsample_frac)
+    # overall = mean of downsampled-lml metrics when computed; otherwise
+    # fall back to the first available metric (the reference crashes with
+    # a KeyError here if 'downsampled_lml' was excluded from
+    # metric_type_l — model_selection_helper.py:135-138; documented fix)
+    ds_keys = [
+        f"downsampled_lml_{frac}"
+        for frac in latent_downsample_frac
+        if f"downsampled_lml_{frac}" in model_eval_result
+    ]
+    if ds_keys:
+        value_per_fit = np.zeros(n_chain)
+        for k in ds_keys:
+            value_per_fit += model_eval_result[k]["value_per_fit"]
+        value_per_fit /= len(ds_keys)
+    elif model_eval_result:
+        first = next(iter(model_eval_result))
+        value_per_fit = np.asarray(
+            model_eval_result[first]["value_per_fit"], dtype=np.float64
+        ).copy()
+    else:
+        value_per_fit = np.zeros(n_chain)
     model_eval_result["metric_overall"] = {
         "value_per_fit": value_per_fit, "best_value": None, "best_index": None,
     }
@@ -562,10 +535,18 @@ def _model_selection_one_split_batched(
     )
 
     # materialize model objects (fitted params/tuning) for the return
-    # contract; construction is host-side and cheap
+    # contract; one ctor per distinct CONFIG (the ctor runs the basis
+    # SVD — repeating it per chain would redo n_repeat identical (L, L)
+    # SVDs), shallow-copied per chain since params/tuning are replaced
+    # and everything else (basis, kernels) is immutable
+    import copy as _copy
+
+    template_per_cfg = [
+        model_class(n_neuron=n_neuron, **cfg) for cfg in hyperparam_grid_l
+    ]
     model_fit_all = []
     for i in range(B):
-        m = model_class(n_neuron=n_neuron, **config_l[i])
+        m = _copy.copy(template_per_cfg[i // n_repeat])
         m.params = per_run[i]["params"]
         m.tuning = per_run[i]["tuning"]
         model_fit_all.append(m)
@@ -670,9 +651,11 @@ def get_downsampled_lml(
         y_test = jnp.asarray(y_test, dtype=jnp.float32)
 
         def one(mask):
+            # pass the 1-D (N,) mask straight through — materializing a
+            # dense (T, N) mask would add ~T*N*4 bytes of pointless operand
+            # per vmapped decode (2 GB at the north-star scale)
             return hmm.forward_filter_lml(
-                y_test, tuning, hyper, trans,
-                jnp.ones_like(y_test) * ma_neuron, mask,
+                y_test, tuning, hyper, trans, ma_neuron, mask,
                 observation_model=obs,
             )
 

@@ -308,8 +308,12 @@ class TsdFrame(_TimeIndexed):
                 return TsdFrame(d=out, t=self.t[rows])
             return out
         if isinstance(key, np.ndarray) and key.dtype == bool:
+            # keep the parent's time_support: rebuilding the default
+            # [t_first, t_last] span would merge across epoch gaps the
+            # parent restriction excluded (pynapple preserves restriction)
             return TsdFrame(d=self.d[key], t=self.t[key],
-                            columns=self.columns)
+                            columns=self.columns,
+                            time_support=self.time_support)
         out = self.d[key]
         if isinstance(key, slice):
             if np.ndim(out) == 2:
@@ -405,8 +409,10 @@ def apply_lowpass_filter(tsd, cutoff, order=4):
     fs = 1.0 / np.median(np.diff(tsd.t))
     b, a = butter(order, cutoff / (fs / 2), btype="low")
     d = filtfilt(b, a, np.asarray(tsd.d, dtype=float), axis=0)
-    cls = TsdFrame if d.ndim == 2 else Tsd
-    return cls(d=d, t=tsd.t, time_support=tsd.time_support)
+    if d.ndim == 2:
+        return TsdFrame(d=d, t=tsd.t, columns=getattr(tsd, "columns", None),
+                        time_support=tsd.time_support)
+    return Tsd(d=d, t=tsd.t, time_support=tsd.time_support)
 
 
 def shift_timestamps(ts, min_shift=1.0, max_shift=10.0, rng=None):

@@ -86,7 +86,7 @@ def shuffle_and_decode(model, spk_tsdf, n_time_per_chunk=10000, dt_l=1,
         raise ValueError(f"decoder_type {decoder_type} not supported")
     import jax
 
-    from poor_man_gplvm_tpu.ops import emissions, hmm
+    from poor_man_gplvm_tpu.ops import emissions
 
     y_stack = np.stack([
         np.asarray(s) for s in circular_shuffle_data(
@@ -123,49 +123,37 @@ def shuffle_and_decode(model, spk_tsdf, n_time_per_chunk=10000, dt_l=1,
                 "ll_per_pos_l": np.asarray(ll),
             })
     else:
+        from poor_man_gplvm_tpu.models.base import build_decode_prog
+
         trans, _ = model._make_transition(hyper)
         # prob engine: vmap-safe, numerically the model's own path
         engine = (
             model.inference_engine
             if model.inference_engine in ("prob", "log") else "prob"
         )
-        has_dyn = model.has_dynamics
-
-        def one(y):
-            smooth, lml, _c, ratios, acc, ll = hmm.smooth_combined_chunked(
-                y, tuning, hyper, trans, ma_neuron, ma_latent,
-                n_time_per_chunk=n_time_per_chunk, observation_model=obs,
-                engine=engine,
-                memory_mode=memory_mode if memory_mode else "auto",
-            )
-            tp = (
-                hmm.compute_transition_posterior_prob(acc) if has_dyn
-                else hmm.compute_transition_posterior_prob_latent(acc)
-            )
-            return smooth, lml, ratios, ll, tp
-
-        dec = jax.jit(jax.vmap(one))
+        # the model's own decode program (one definition of the
+        # decode_res contract — models/base.build_decode_prog), vmapped
+        # over shuffles
+        prog = build_decode_prog(
+            obs, engine, model.has_dynamics, n_time_per_chunk,
+            memory_mode=memory_mode if memory_mode else "auto",
+        )
+        dec = jax.jit(jax.vmap(
+            lambda y: prog(y, tuning, hyper, trans, ma_neuron, ma_latent, 1.0)
+        ))
         for s0 in tqdm.tqdm(range(0, n_shuffle, shuffle_batch_size),
                             disable=not verbose):
-            smooth, lml, ratios, ll, tp = dec(
-                jnp.asarray(y_stack[s0:s0 + shuffle_batch_size])
-            )
-            post = np.exp(np.asarray(smooth))
+            res = dec(jnp.asarray(y_stack[s0:s0 + shuffle_batch_size]))
             batch = {
-                "log_posterior_all": np.asarray(smooth),
-                "log_marginal_final": np.asarray(lml),
-                "posterior_all": post,
-                "log_one_step_predictive_marginals_all": np.asarray(ratios),
-                # None under checkpoint/filter memory modes (auto-selected
-                # at large T*L) — keep the key with None like decode_latent
-                "log_likelihood_all": (
-                    np.asarray(ll) if ll is not None else None
-                ),
+                # log_likelihood_all is None under checkpoint/filter memory
+                # modes (auto-selected at large T*L) — keep the key with
+                # None like decode_latent
+                k: (np.asarray(v) if v is not None else None)
+                for k, v in res.items() if k != "_log_marginal_final"
             }
-            if has_dyn:
-                batch["posterior_latent_marg"] = post.sum(axis=2)
-                batch["posterior_dynamics_marg"] = post.sum(axis=3)
-            batch.update({k: np.asarray(v) for k, v in tp.items()})
+            batch["log_marginal_final"] = np.asarray(
+                res["_log_marginal_final"]
+            )
             out_batches.append(batch)
 
     return {

@@ -80,6 +80,36 @@ def test_model_selection_one_split(data):
     assert "movement_variance" in df.columns
 
 
+def test_evaluate_without_downsampled_lml(data):
+    """metric_overall must not KeyError when 'downsampled_lml' is excluded
+    from metric_type_l (the reference crashes here,
+    model_selection_helper.py:135-138 — documented fix): it falls back to
+    the first available metric."""
+    model_fit_l, _ = selection.fit_model_one_config(
+        {"n_latent_bin": L, "tuning_lengthscale": 3.0}, data,
+        key=jr.PRNGKey(3), fit_kwargs=FAST_FIT, n_repeat=2,
+    )
+    res = selection.evaluate_model_one_config(
+        model_fit_l, data[:80], metric_type_l=("log_marginal_test",),
+    )
+    assert "metric_overall" in res
+    np.testing.assert_allclose(
+        res["metric_overall"]["value_per_fit"],
+        res["log_marginal_test"]["value_per_fit"],
+    )
+    # and through the one_split driver on both backends
+    for backend in ("serial", "batched"):
+        out = selection.model_selection_one_split(
+            data, {"movement_variance": [0.5, 2.0]}, test_frac=0.3,
+            fit_kwargs=FAST_FIT, n_repeat=1,
+            metric_type_l=("log_marginal_test",), verbose=False,
+            backend=backend,
+        )
+        assert "metric_overall_best_value" in (
+            out["model_eval_result_all_configs"].columns
+        )
+
+
 def test_latentonly_drops_jump_metrics(data):
     res = selection.model_selection_one_split(
         data, {"movement_variance": [1.0]}, test_frac=0.3,

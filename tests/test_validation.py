@@ -170,6 +170,30 @@ def test_tsdframe_indexing():
     assert sub.shape == (3, 2)
 
 
+def test_tsdframe_bool_mask_keeps_time_support():
+    """Boolean indexing must preserve the parent's restricted time_support
+    instead of rebuilding a [t_first, t_last] span across epoch gaps."""
+    t = np.arange(10.0)
+    tf = TsdFrame(d=np.arange(20).reshape(10, 2).astype(float), t=t)
+    ep = IntervalSet(np.array([0.0, 7.0]), np.array([2.0, 9.0]))
+    sub = tf.restrict(ep)[np.ones(6, dtype=bool)]
+    assert len(sub.time_support) == 2
+    np.testing.assert_allclose(sub.time_support.start, [0.0, 7.0])
+    np.testing.assert_allclose(sub.time_support.end, [2.0, 9.0])
+
+
+def test_lowpass_filter_keeps_columns():
+    from poor_man_gplvm_tpu.utils.timeseries import apply_lowpass_filter
+
+    t = np.arange(0, 10, 0.01)
+    tf = TsdFrame(
+        d=np.column_stack([np.sin(t), np.cos(t)]), t=t, columns=["x", "y"]
+    )
+    f = apply_lowpass_filter(tf, 5.0)
+    assert list(f.columns) == ["x", "y"]
+    assert isinstance(f["x"], Tsd)
+
+
 @pytest.mark.parametrize("decoder_type", ["naive_bayes", "dynamics"])
 def test_shuffle_and_decode_batched_equals_serial(decoder_type):
     """The vmapped shuffle fan-out returns the same stacked dict (same
