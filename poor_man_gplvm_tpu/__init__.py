@@ -25,6 +25,11 @@ from poor_man_gplvm_tpu.models.latent1d import (
 )
 from poor_man_gplvm_tpu.ops.basis import generate_basis
 
+from poor_man_gplvm_tpu.config import (
+    get_matmul_precision,
+    set_matmul_precision,
+)
+
 # reference-compatible submodule surface (poor_man_gplvm/__init__.py:6-12)
 from poor_man_gplvm_tpu import (  # noqa: F401
     analysis,
@@ -63,4 +68,6 @@ __all__ = [
     "PoissonGPLVMJump1D",
     "GaussianGPLVMJump1D",
     "generate_basis",
+    "set_matmul_precision",
+    "get_matmul_precision",
 ]

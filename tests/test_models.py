@@ -452,3 +452,33 @@ def test_fused_decode_matches_manual_composition():
         np.testing.assert_allclose(
             np.asarray(dec[k]), np.asarray(v), rtol=1e-6, atol=1e-7,
         )
+
+
+def test_set_matmul_precision_knob():
+    """The deployment precision knob flips the emission/M-step matmul
+    precision (PERFORMANCE.md measured ladder), keeps results close, and
+    never touches the scan-step recursion precision."""
+    import jax
+
+    from poor_man_gplvm_tpu import config as cfg
+    from poor_man_gplvm_tpu.ops import emissions, mstep
+
+    m = pmg.PoissonGPLVMJump1D(8, n_latent_bin=10, tuning_lengthscale=3.0)
+    _, spk = m.sample(120, key=jr.PRNGKey(0))
+    base = m.decode_latent(spk)["log_marginal_final"]
+    try:
+        cfg.set_matmul_precision("high")
+        assert emissions.PRECISION == jax.lax.Precision.HIGH
+        assert mstep.PRECISION == jax.lax.Precision.HIGH
+        assert pmg.get_matmul_precision() == jax.lax.Precision.HIGH
+        # scan-step matvecs stay exact
+        from poor_man_gplvm_tpu.ops import hmm as _hmm
+
+        assert _hmm.PRECISION == jax.lax.Precision.HIGHEST
+        got = m.decode_latent(spk)["log_marginal_final"]
+        assert abs(got - base) <= 1e-4 * abs(base)
+        with pytest.raises(ValueError):
+            cfg.set_matmul_precision("fp8")
+    finally:
+        cfg.set_matmul_precision("highest")
+    assert emissions.PRECISION == jax.lax.Precision.HIGHEST
