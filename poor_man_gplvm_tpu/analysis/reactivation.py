@@ -85,10 +85,17 @@ def circular_shuffle_column_independently(spk_mat, min_shift=5, rng=None):
 
 def circular_shuffle_spikes_within_epoch_and_decode(
     model, spk_mat, pre_post_epoch_d, decoder_type="naive_bayes",
-    common_ep=None, n_shuffle=100, verbose=True, rng=None,
+    common_ep=None, n_shuffle=100, verbose=True, rng=None, batched=True,
+    shuffle_batch_size=32,
 ):
     """Circular within-epoch per-neuron shuffles -> decode -> stacked mean
-    posteriors (reference reactivation_analysis.py:57-82)."""
+    posteriors (reference reactivation_analysis.py:57-82).
+
+    ``batched`` (default): the shuffles are drawn in the reference's exact
+    order, then each epoch's shuffle stack decodes as vmapped device
+    programs (``shuffle_batch_size`` shuffles per dispatch) instead of
+    2 x n_shuffle serial decodes.  ``batched=False`` keeps the serial
+    reference loop."""
     rng = np.random.default_rng(rng)
     spk_mat_d = {}
     for pre_post, ep in pre_post_epoch_d.items():
@@ -97,16 +104,87 @@ def circular_shuffle_spikes_within_epoch_and_decode(
             sub = sub.restrict(common_ep)
         spk_mat_d[pre_post] = np.asarray(sub.d)
 
-    out = {}
-    for i in tqdm.trange(n_shuffle, disable=not verbose):
-        shuffled_d = {
-            k: circular_shuffle_column_independently(
-                v, min_shift=5, rng=rng.integers(2**31)
+    if not batched:
+        out = {}
+        for i in tqdm.trange(n_shuffle, disable=not verbose):
+            shuffled_d = {
+                k: circular_shuffle_column_independently(
+                    v, min_shift=5, rng=rng.integers(2**31)
+                )
+                for k, v in spk_mat_d.items()
+            }
+            res = decode_pre_post(
+                model, shuffled_d, decoder_type=decoder_type
             )
-            for k, v in spk_mat_d.items()
-        }
-        res = decode_pre_post(model, shuffled_d, decoder_type=decoder_type)
-        out[i] = res["post_latent_mean_d"]
+            out[i] = res["post_latent_mean_d"]
+        return pd.concat(out, axis=0)
+
+    if decoder_type not in ("naive_bayes", "dynamics"):
+        raise ValueError(f"decoder_type {decoder_type} not supported")
+    import jax
+
+    from poor_man_gplvm_tpu.ops import emissions, hmm
+
+    # identical RNG stream: shuffles drawn in the serial loop's (i, key)
+    # order, then stacked per key
+    shuffled_per_key = {k: [] for k in spk_mat_d}
+    for _ in range(n_shuffle):
+        for k, v in spk_mat_d.items():
+            shuffled_per_key[k].append(
+                circular_shuffle_column_independently(
+                    v, min_shift=5, rng=rng.integers(2**31)
+                )
+            )
+
+    tuning = model.tuning
+    hyper = {}
+    if hasattr(model, "noise_std"):
+        hyper["noise_std"] = model.noise_std
+    ma_neuron = model.ma_neuron_default
+    ma_latent = model.ma_latent_default
+    obs = model.observation_model
+    has_dyn = model.has_dynamics
+
+    if decoder_type == "naive_bayes":
+        def one(y):
+            log_post, *_ = emissions.get_naive_bayes_ma(
+                y, tuning, hyper, ma_neuron, ma_latent,
+                observation_model=obs,
+            )
+            return jnp.exp(log_post)  # (T, L)
+    else:
+        trans, _ = model._make_transition(hyper)
+        engine = (
+            model.inference_engine
+            if model.inference_engine in ("prob", "log") else "prob"
+        )
+
+        def one(y):
+            smooth, *_ = hmm.smooth_combined_chunked(
+                y, tuning, hyper, trans, ma_neuron, ma_latent,
+                observation_model=obs, engine=engine,
+            )
+            post = jnp.exp(smooth)
+            return post.sum(axis=1) if has_dyn else post  # (T, L)
+
+    # only the time-mean survives to the host: (S_batch, L) per dispatch
+    mean_prog = jax.jit(jax.vmap(lambda y: one(y).mean(axis=0)))
+    mean_per_key = {}
+    for k, stacks in shuffled_per_key.items():
+        y_all = np.stack(stacks)  # (S, T_k, N)
+        parts = []
+        for s0 in tqdm.tqdm(range(0, n_shuffle, shuffle_batch_size),
+                            disable=not verbose, desc=f"decode[{k}]"):
+            parts.append(np.asarray(
+                mean_prog(jnp.asarray(y_all[s0:s0 + shuffle_batch_size]))
+            ))
+        mean_per_key[k] = np.concatenate(parts, axis=0)  # (S, L)
+
+    out = {}
+    for i in range(n_shuffle):
+        means = {k: mean_per_key[k][i] for k in mean_per_key}
+        means["diff"] = means["post"] - means["pre"]
+        out[i] = pd.DataFrame(means, columns=["pre", "post", "diff"])
     return pd.concat(out, axis=0)
 
 

@@ -242,6 +242,33 @@ def test_reactivation_shuffles():
     assert m.shape == (50, 4)
 
 
+@pytest.mark.parametrize("decoder_type", ["naive_bayes", "dynamics"])
+def test_reactivation_shuffle_decode_batched_equals_serial(decoder_type):
+    """The vmapped within-epoch shuffle-decode fan-out must match the
+    serial reference loop (same RNG stream, same mean posteriors)."""
+    import jax.random as jr
+
+    import poor_man_gplvm_tpu as pmg
+
+    model = pmg.PoissonGPLVMJump1D(5, n_latent_bin=6, tuning_lengthscale=2.0)
+    _, y = model.sample(80, key=jr.PRNGKey(0))
+    t = np.arange(80) * 0.1
+    spk = TsdFrame(d=np.asarray(y), t=t)
+    eps = {"pre": IntervalSet(np.array([0.0]), np.array([3.95])),
+           "post": IntervalSet(np.array([4.0]), np.array([7.95]))}
+    kw = dict(n_shuffle=4, verbose=False, decoder_type=decoder_type)
+    res_s = analysis.circular_shuffle_spikes_within_epoch_and_decode(
+        model, spk, eps, rng=7, batched=False, **kw
+    )
+    res_b = analysis.circular_shuffle_spikes_within_epoch_and_decode(
+        model, spk, eps, rng=7, batched=True, shuffle_batch_size=3, **kw
+    )
+    assert res_s.shape == res_b.shape
+    np.testing.assert_allclose(
+        res_b.to_numpy(), res_s.to_numpy(), rtol=2e-4, atol=1e-6
+    )
+
+
 def test_homogeneous_poisson_surrogates():
     g = TsGroup({0: np.sort(np.random.default_rng(0).uniform(0, 10, 100)),
                  1: np.sort(np.random.default_rng(1).uniform(0, 10, 50))})
