@@ -765,9 +765,17 @@ def get_jump_consensus_shuffle(
     }
 
 
-def get_lml_test_history(y_test, model, tuning_saved, do_nb=True, ma_temporal=None):
+def get_lml_test_history(y_test, model, tuning_saved, do_nb=True,
+                         ma_temporal=None, batched=True):
     """Held-out LML for each saved tuning snapshot
-    (reference model_selection_helper.py:424-445)."""
+    (reference model_selection_helper.py:424-445).
+
+    ``batched`` (default): all snapshots share shapes and transitions, so
+    the whole history evaluates as ONE vmapped-over-tuning device program
+    (the smoother does not change ``log_marginal_final``, so the full
+    decode reduces to the forward-filter LML — same invariant as
+    ``get_downsampled_lml``).  ``batched=False`` keeps the serial
+    per-snapshot decode loop."""
     if ma_temporal is not None:
         ma_neuron = jnp.ones(y_test.shape[1])[None, :] * jnp.asarray(
             ma_temporal
@@ -775,14 +783,52 @@ def get_lml_test_history(y_test, model, tuning_saved, do_nb=True, ma_temporal=No
     else:
         ma_neuron = None
 
-    lml_test_l = []
-    for tun_ in tuning_saved:
-        if do_nb:
-            res = model.decode_latent_naive_bayes(
-                y_test, tuning=tun_, ma_neuron=ma_neuron
+    if not batched:
+        lml_test_l = []
+        for tun_ in tuning_saved:
+            if do_nb:
+                res = model.decode_latent_naive_bayes(
+                    y_test, tuning=tun_, ma_neuron=ma_neuron
+                )
+                lml_test_l.append(res["log_marginal_total"])
+            else:
+                res = model.decode_latent(
+                    y_test, tuning=tun_, ma_neuron=ma_neuron
+                )
+                lml_test_l.append(res["log_marginal_final"])
+        return np.array(lml_test_l)
+
+    if len(tuning_saved) == 0:
+        return np.array([])
+    import jax
+
+    from poor_man_gplvm_tpu.ops import emissions as _em
+    from poor_man_gplvm_tpu.ops import hmm as _hmm
+
+    y_test = jnp.asarray(y_test, dtype=jnp.float32)
+    if ma_neuron is None:
+        ma_neuron = model.ma_neuron_default
+    ma_latent = model.ma_latent_default
+    hyper = {}
+    if hasattr(model, "noise_std"):
+        hyper["noise_std"] = model.noise_std
+    obs = model.observation_model
+    tun_stack = jnp.stack([jnp.asarray(t) for t in tuning_saved])
+
+    if do_nb:
+        def one(tun):
+            _, _, lml, _ = _em.get_naive_bayes_ma(
+                y_test, tun, hyper, ma_neuron, ma_latent,
+                observation_model=obs,
             )
-            lml_test_l.append(res["log_marginal_total"])
-        else:
-            res = model.decode_latent(y_test, tuning=tun_, ma_neuron=ma_neuron)
-            lml_test_l.append(res["log_marginal_final"])
-    return np.array(lml_test_l)
+            return lml
+    else:
+        trans, _ = model._make_transition(hyper)
+
+        def one(tun):
+            return _hmm.forward_filter_lml(
+                y_test, tun, hyper, trans, ma_neuron, ma_latent,
+                observation_model=obs,
+            )
+
+    return np.asarray(jax.jit(jax.vmap(one))(tun_stack))

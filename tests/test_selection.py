@@ -154,14 +154,27 @@ def test_jump_consensus_shuffle():
 def test_lml_test_history(data):
     model = pmg.PoissonGPLVMJump1D(N, n_latent_bin=L, tuning_lengthscale=3.0)
     em = model.fit_em(data, n_iter=3, save_every=1, verboase=False)
-    hist = selection.get_lml_test_history(
-        data[:50], model, em["tuning_saved"], do_nb=True
+    for do_nb in (True, False):
+        hist_b = selection.get_lml_test_history(
+            data[:50], model, em["tuning_saved"], do_nb=do_nb
+        )
+        assert hist_b.shape == (3,)
+        # vmapped-over-tuning history equals the serial decode loop
+        hist_s = selection.get_lml_test_history(
+            data[:50], model, em["tuning_saved"], do_nb=do_nb, batched=False
+        )
+        np.testing.assert_allclose(hist_b, hist_s, rtol=2e-5, atol=1e-5)
+    # 2-D temporal-mask path
+    ma_t = np.ones(50)
+    ma_t[:10] = 0.0
+    h_mb = selection.get_lml_test_history(
+        data[:50], model, em["tuning_saved"], do_nb=True, ma_temporal=ma_t
     )
-    assert hist.shape == (3,)
-    hist2 = selection.get_lml_test_history(
-        data[:50], model, em["tuning_saved"], do_nb=False
+    h_ms = selection.get_lml_test_history(
+        data[:50], model, em["tuning_saved"], do_nb=True, ma_temporal=ma_t,
+        batched=False,
     )
-    assert hist2.shape == (3,)
+    np.testing.assert_allclose(h_mb, h_ms, rtol=2e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("model_class_str", ["poisson", "gaussian_latentonly"])
