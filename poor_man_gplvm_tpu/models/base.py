@@ -440,7 +440,7 @@ class _GPLVMCommon(ABC):
         # 1-2 per direction (the convergence certificate is still enforced
         # every iteration, so exactness is unaffected)
         ws_spec = _hmm.parallel_scan_carry_spec(
-            y_.shape[0], trans, engine
+            y_.shape[0], trans, engine, memory_mode=mm
         )
         # The warm-start plumbing (boundary carries + drift predictors +
         # certificates threaded through the EM scan state) costs ~8 ms/iter

@@ -52,6 +52,7 @@ from poor_man_gplvm_tpu.ops.emissions import (
     get_loglikelihood_ma_all,
     get_loglikelihood_ma_all_changing_dt,
 )
+from poor_man_gplvm_tpu.ops.pallas.scan_kernels import _detect_uniform_rows
 
 JOINT_ACC_INIT = -1e40  # reference decoder.py:240
 
@@ -87,17 +88,23 @@ def _uniform_row_flags(mats):
     lets the Pallas kernels replace that channel's matvec with a scalar sum.
     The constant-entry requirement (not merely identical rows) is what makes
     the smoother's ``sum(r) * row`` pull shortcut exact.  Concrete matrices
-    only; tracers get all-False."""
-    try:
-        arr = np.asarray(mats)
-    except Exception:
-        return tuple(False for _ in range(mats.shape[0]))
-    if arr.ndim == 2:
-        arr = arr[None]
-    return tuple(
-        bool(np.all(np.abs(arr[d] - arr[d][0, 0]) < 1e-12))
-        for d in range(arr.shape[0])
-    )
+    only; tracers get all-False.  Single predicate definition:
+    ``scan_kernels._detect_uniform_rows`` (this wrapper only adds the 2-D
+    lift), so the Transition-provided flags can never disagree with the
+    kernel-side detection.
+
+    The flag count is ONE per matrix (1 for a 2-D input, n_dyn for a 3-D
+    stack) in every branch: these tuples are pytree aux data, so a
+    trace-time fallback with a different length than the concrete path
+    would make structurally-identical Transitions incompatible across
+    jit/vmap contexts."""
+    if len(mats.shape) == 2:
+        try:
+            arr = np.asarray(mats)[None]
+        except Exception:
+            return (False,)
+        return _detect_uniform_rows(arr)
+    return _detect_uniform_rows(mats)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -343,7 +350,13 @@ def forward_filter_lml(y, tuning, hyper, trans, ma_neuron, ma_latent,
     return lml
 
 
-def _backward_scan_prob(p_filt_xs, p_prior_xs, trans, p_smooth_init):
+def _backward_scan_prob_ratios(p_filt_xs, p_prior_xs, trans, p_smooth_init):
+    """Reverse smoother scan returning the per-step pull ratios.  Single
+    definition of the backward step body — the pipeline engine
+    (parallel/spmd.py) accumulates its pairwise joint from the ratios
+    AFTER masking padded rows, so it consumes this instead of
+    ``_backward_scan_prob``."""
+
     def step(p_smooth_next, x):
         p_filt_t, p_prior_next = x
         safe_prior = jnp.where(p_prior_next > 0, p_prior_next, 1.0)
@@ -356,6 +369,13 @@ def _backward_scan_prob(p_filt_xs, p_prior_xs, trans, p_smooth_init):
 
     _, (smooth, ratios) = lax.scan(
         step, p_smooth_init, (p_filt_xs, p_prior_xs), reverse=True
+    )
+    return smooth, ratios
+
+
+def _backward_scan_prob(p_filt_xs, p_prior_xs, trans, p_smooth_init):
+    smooth, ratios = _backward_scan_prob_ratios(
+        p_filt_xs, p_prior_xs, trans, p_smooth_init
     )
     acc = trans.outer_acc(p_filt_xs, ratios)
     return smooth, acc
@@ -706,10 +726,18 @@ def smooth_combined_chunked(
     # long sequences on real TPU hardware: upgrade the sequential pallas
     # engine to the fixed-point parallel-in-time engine (exact at
     # convergence — see ops/pallas/parallel_scan.py; ~C x lower scan
-    # latency).  Explicit 'prob'/'log' engines are never upgraded.
+    # latency).  Explicit 'prob'/'log' engines are never upgraded, and a
+    # memory_mode='checkpoint' request only upgrades while the parallel
+    # driver's full-sequence buffers still fit (_parallel_upgrade_ok):
+    # checkpoint is the O(chunk)-state mode, and the parallel engine
+    # cannot bound its state by chunk.
+    n_dyn_ = getattr(trans, "n_dyn", 1)
     if (
         engine == "pallas"
         and n_time_tot >= 100_000
+        and _parallel_upgrade_ok(
+            n_time_tot, trans.n_latent, n_dyn_, memory_mode
+        )
         and jax.default_backend() == "tpu"
     ):
         engine = "pallas_parallel"
@@ -832,13 +860,9 @@ def smooth_combined_chunked(
     carry = None
     post_chunks, prior_chunks, ratio_chunks, ll_chunks = [], [], [], []
     for n in range(n_chunks):
-        sl = slice(n * n_time_per_chunk, (n + 1) * n_time_per_chunk)
-        y_chunk = y[sl]
-        if ma_neuron.ndim == 2:
-            ma_chunk = ma_neuron[sl]
-        else:
-            ma_chunk = jnp.broadcast_to(ma_neuron, y_chunk.shape)
-        dt_chunk = None if dt_l is None else dt_l[sl]
+        y_chunk, ma_chunk, dt_chunk = _chunk_inputs(
+            y, ma_neuron, dt_l, n, n_time_per_chunk
+        )
 
         if carry is None:
             log_init = trans.uniform_log_init()
@@ -906,11 +930,31 @@ def smooth_combined_chunked(
     )
 
 
-def parallel_scan_carry_spec(n_time, trans, engine, force=False):
+def _parallel_upgrade_ok(n_time, n_latent, n_dyn, memory_mode):
+    """Whether memory_mode permits the pallas -> pallas_parallel
+    auto-upgrade.  'checkpoint' promises O(chunk) state, which the
+    parallel driver cannot honor (it materializes full-sequence
+    weight/posterior buffers), so under checkpoint the upgrade is allowed
+    only while those buffers provably fit: ~4*T*Lp bytes of likelihood
+    weights + ~4*T*n_dyn*Lp of filter posteriors + outputs, budgeted at
+    12 GB of a 16 GB chip.  Single definition shared by
+    ``smooth_combined_chunked`` and ``parallel_scan_carry_spec`` so the
+    two gates can never disagree."""
+    if memory_mode != "checkpoint":
+        return True
+    Lp = -(-n_latent // 128) * 128
+    est_bytes = 4.0 * n_time * Lp * (1 + 2 * max(1, n_dyn))
+    return est_bytes <= 12e9
+
+
+def parallel_scan_carry_spec(n_time, trans, engine, force=False,
+                             memory_mode="auto"):
     """Warm-start carry spec ((n_dyn, C, Lp)) when `smooth_combined_chunked`
-    with this engine/shape would run the parallel-in-time engine on the
-    current backend, else None.  ``force=True`` skips the backend/threshold
-    check (for tests)."""
+    with this engine/shape/memory_mode would run the parallel-in-time
+    engine on the current backend, else None.  ``force=True`` skips the
+    backend/threshold check (for tests).  Mirrors the auto-upgrade gate in
+    ``smooth_combined_chunked`` (shared ``_parallel_upgrade_ok``) — no
+    carries may be requested for a shape/mode that will not upgrade."""
     from poor_man_gplvm_tpu.ops.pallas import parallel_scan as ps
 
     is_joint = hasattr(trans, "Tdyn")
@@ -918,6 +962,9 @@ def parallel_scan_carry_spec(n_time, trans, engine, force=False):
     upgraded = (
         engine == "pallas_parallel"
         or (engine == "pallas" and n_time >= 100_000
+            and _parallel_upgrade_ok(
+                n_time, trans.n_latent, n_dyn, memory_mode
+            )
             and jax.default_backend() == "tpu")
         or force
     )
@@ -1025,6 +1072,30 @@ def _smooth_parallel_driver(
     return out
 
 
+def _chunk_inputs(y, ma_neuron, dt_l, n, n_time_per_chunk):
+    """Slice chunk ``n``'s (y, neuron-mask, dt) inputs — the single
+    definition of the chunk windowing shared by every chunked driver."""
+    sl = slice(n * n_time_per_chunk, (n + 1) * n_time_per_chunk)
+    y_chunk = y[sl]
+    if ma_neuron.ndim == 2:
+        ma_chunk = ma_neuron[sl]
+    else:
+        ma_chunk = jnp.broadcast_to(ma_neuron, y_chunk.shape)
+    dt_chunk = None if dt_l is None else dt_l[sl]
+    return y_chunk, ma_chunk, dt_chunk
+
+
+def _concat_marginal_pairs(chunks):
+    """Concatenate per-chunk ``(latent_marg, dyn_marg_or_None)`` smoother
+    pairs along time — the single definition of the marginal-pair assembly
+    contract (dyn is None exactly when the latent-only path produced the
+    pair)."""
+    lat_all = jnp.concatenate([c[0] for c in chunks], axis=0)
+    if chunks[0][1] is None:
+        return (lat_all, None)
+    return (lat_all, jnp.concatenate([c[1] for c in chunks], axis=0))
+
+
 def _smooth_chunked_checkpoint(
     y, tuning, hyperparam, trans, ma_neuron, ma_latent, likelihood_scale,
     n_time_per_chunk, observation_model, engine, dt_l,
@@ -1090,20 +1161,12 @@ def _smooth_chunked_checkpoint(
             nc, c_head,
         )
         if marginal_smooth:
-            lat_all = jnp.concatenate(
-                [smooth_h[0].reshape(th, smooth_h[0].shape[-1]), smooth_t[0]],
-                axis=0,
+            head_pair = (
+                smooth_h[0].reshape(th, smooth_h[0].shape[-1]),
+                None if smooth_t[1] is None
+                else smooth_h[1].reshape(th, smooth_h[1].shape[-1]),
             )
-            if smooth_t[1] is None:
-                smooth_all = (lat_all, None)
-            else:
-                smooth_all = (
-                    lat_all,
-                    jnp.concatenate(
-                        [smooth_h[1].reshape(th, smooth_h[1].shape[-1]),
-                         smooth_t[1]], axis=0,
-                    ),
-                )
+            smooth_all = _concat_marginal_pairs([head_pair, smooth_t])
         else:
             state_shape = smooth_t.shape[1:]
             smooth_all = jnp.concatenate(
@@ -1111,16 +1174,6 @@ def _smooth_chunked_checkpoint(
             )
         acc = prob_to_log(bwd_carry[1])
         return smooth_all, log_marginal_final, None, ratios_all, acc, None
-
-    def chunk_inputs(n):
-        sl = slice(n * n_time_per_chunk, (n + 1) * n_time_per_chunk)
-        y_chunk = y[sl]
-        if ma_neuron.ndim == 2:
-            ma_chunk = ma_neuron[sl]
-        else:
-            ma_chunk = jnp.broadcast_to(ma_neuron, y_chunk.shape)
-        dt_chunk = None if dt_l is None else dt_l[sl]
-        return y_chunk, ma_chunk, dt_chunk
 
     # ---- forward: keep carries + ratios + first-prior rows only ----
     carry = (
@@ -1131,7 +1184,9 @@ def _smooth_chunked_checkpoint(
     ratio_chunks = []
     for n in range(n_chunks):
         chunk_carries.append(carry)
-        y_chunk, ma_chunk, dt_chunk = chunk_inputs(n)
+        y_chunk, ma_chunk, dt_chunk = _chunk_inputs(
+            y, ma_neuron, dt_l, n, n_time_per_chunk
+        )
         post, prior, ratios, carry, _ll = _filter_chunk(
             y_chunk, tuning, hyperparam, trans, ma_chunk, ma_latent, carry,
             likelihood_scale, observation_model, engine, dt_chunk,
@@ -1146,7 +1201,9 @@ def _smooth_chunked_checkpoint(
     smooth_chunks = [None] * n_chunks
     bwd_carry = None
     for n in range(n_chunks - 1, -1, -1):
-        y_chunk, ma_chunk, dt_chunk = chunk_inputs(n)
+        y_chunk, ma_chunk, dt_chunk = _chunk_inputs(
+            y, ma_neuron, dt_l, n, n_time_per_chunk
+        )
         post, prior, _r, _c, _ll = _filter_chunk(
             y_chunk, tuning, hyperparam, trans, ma_chunk, ma_latent,
             chunk_carries[n], likelihood_scale, observation_model, engine,
@@ -1182,14 +1239,7 @@ def _smooth_chunked_checkpoint(
         del post, prior, smooth
 
     if marginal_smooth:
-        lat_all = jnp.concatenate([c[0] for c in smooth_chunks], axis=0)
-        if smooth_chunks[0][1] is None:
-            smooth_all = (lat_all, None)
-        else:
-            smooth_all = (
-                lat_all,
-                jnp.concatenate([c[1] for c in smooth_chunks], axis=0),
-            )
+        smooth_all = _concat_marginal_pairs(smooth_chunks)
     else:
         smooth_all = jnp.concatenate(smooth_chunks, axis=0)
     acc = prob_to_log(bwd_carry[1])
@@ -1282,20 +1332,12 @@ def _smooth_chunked_filterstore(
             post_h, trans, bwd_carry, engine, marginal_smooth
         )
         if marginal_smooth:
-            lat_all = jnp.concatenate(
-                [smooth_h[0].reshape(th, smooth_h[0].shape[-1]), smooth_t[0]],
-                axis=0,
+            head_pair = (
+                smooth_h[0].reshape(th, smooth_h[0].shape[-1]),
+                None if smooth_t[1] is None
+                else smooth_h[1].reshape(th, smooth_h[1].shape[-1]),
             )
-            if smooth_t[1] is None:
-                smooth_all = (lat_all, None)
-            else:
-                smooth_all = (
-                    lat_all,
-                    jnp.concatenate(
-                        [smooth_h[1].reshape(th, smooth_h[1].shape[-1]),
-                         smooth_t[1]], axis=0,
-                    ),
-                )
+            smooth_all = _concat_marginal_pairs([head_pair, smooth_t])
         else:
             state_shape = smooth_t.shape[1:]
             smooth_all = jnp.concatenate(
@@ -1304,16 +1346,6 @@ def _smooth_chunked_filterstore(
         acc = prob_to_log(bwd_carry[1])
         return smooth_all, log_marginal_final, None, ratios_all, acc, None
 
-    def chunk_inputs(n):
-        sl = slice(n * n_time_per_chunk, (n + 1) * n_time_per_chunk)
-        y_chunk = y[sl]
-        if ma_neuron.ndim == 2:
-            ma_chunk = ma_neuron[sl]
-        else:
-            ma_chunk = jnp.broadcast_to(ma_neuron, y_chunk.shape)
-        dt_chunk = None if dt_l is None else dt_l[sl]
-        return y_chunk, ma_chunk, dt_chunk
-
     # ---- forward: store filter posteriors (downcast) + ratios ----
     carry = (
         jnp.exp(trans.uniform_log_init()), jnp.array(0.0, dtype=jnp.float32)
@@ -1321,7 +1353,9 @@ def _smooth_chunked_filterstore(
     post_chunks = [None] * n_chunks
     ratio_chunks = []
     for n in range(n_chunks):
-        y_chunk, ma_chunk, dt_chunk = chunk_inputs(n)
+        y_chunk, ma_chunk, dt_chunk = _chunk_inputs(
+            y, ma_neuron, dt_l, n, n_time_per_chunk
+        )
         post, prior, ratios, carry, _ll = _filter_chunk(
             y_chunk, tuning, hyperparam, trans, ma_chunk, ma_latent, carry,
             likelihood_scale, observation_model, engine, dt_chunk,
@@ -1345,14 +1379,7 @@ def _smooth_chunked_filterstore(
         post_chunks[n] = None  # release the stored chunk eagerly
 
     if marginal_smooth:
-        lat_all = jnp.concatenate([c[0] for c in smooth_chunks], axis=0)
-        if smooth_chunks[0][1] is None:
-            smooth_all = (lat_all, None)
-        else:
-            smooth_all = (
-                lat_all,
-                jnp.concatenate([c[1] for c in smooth_chunks], axis=0),
-            )
+        smooth_all = _concat_marginal_pairs(smooth_chunks)
     else:
         smooth_all = jnp.concatenate(smooth_chunks, axis=0)
     acc = prob_to_log(bwd_carry[1])

@@ -74,7 +74,11 @@ from poor_man_gplvm_tpu.ops.emissions import (
     gaussian_loglik,
     poisson_loglik,
 )
-from poor_man_gplvm_tpu.ops.hmm import _forward_scan_prob, prob_to_log
+from poor_man_gplvm_tpu.ops.hmm import (
+    _backward_scan_prob_ratios,
+    _forward_scan_prob,
+    prob_to_log,
+)
 from poor_man_gplvm_tpu.ops import mstep as fth
 
 __all__ = [
@@ -98,29 +102,41 @@ def factorize_devices(n, batch=1, n_neuron=None, n_time=None):
     (128).  Default split: time-heavy with neuron capped at 2.  Callers
     with different shapes (e.g. N=2000 neurons, short sequences) pass
     ``n_neuron``/``n_time`` to request axis sizes explicitly."""
-    data = 1
-    while data * 2 <= n and data * 2 <= batch and n % (data * 2) == 0:
-        data *= 2
-    rest = n // data
     if n_neuron is not None or n_time is not None:
+        # explicit axis requests are hard constraints; ``batch`` is only an
+        # upper bound on the free data axis, so satisfy the explicit axes
+        # FIRST and give data the largest fitting divisor of what remains
+        # (a greedy data axis would e.g. reject n=8, batch=4, n_time=8,
+        # which the (1, 8, 1) mesh satisfies)
+        fixed = (n_time or 1) * (n_neuron or 1)
+        if n % fixed:
+            raise ValueError(
+                f"time({n_time}) * neuron({n_neuron}) = {fixed} does not "
+                f"divide {n} devices"
+            )
+        rest = n // fixed
+        data = 1
+        while data * 2 <= rest and data * 2 <= batch and rest % (data * 2) == 0:
+            data *= 2
         if n_neuron is None:
-            if rest % n_time:
-                raise ValueError(
-                    f"n_time={n_time} does not divide {rest} (= n/data)"
-                )
-            n_neuron = rest // n_time
+            n_neuron = rest // data
         elif n_time is None:
-            if rest % n_neuron:
-                raise ValueError(
-                    f"n_neuron={n_neuron} does not divide {rest} (= n/data)"
-                )
-            n_time = rest // n_neuron
+            n_time = rest // data
+        elif data != rest and rest <= batch:
+            # both axes pinned: data must absorb the rest exactly (but
+            # never beyond the caller's batch bound — a data axis larger
+            # than the chain batch cannot be sharded downstream)
+            data = rest
         if data * n_time * n_neuron != n:
             raise ValueError(
                 f"data({data}) * time({n_time}) * neuron({n_neuron}) != {n}; "
                 f"pass batch/n_time/n_neuron that factor the device count"
             )
         return data, n_time, n_neuron
+    data = 1
+    while data * 2 <= n and data * 2 <= batch and n % (data * 2) == 0:
+        data *= 2
+    rest = n // data
     neuron = 1
     if rest % 2 == 0 and rest > 2:
         neuron = 2
@@ -256,24 +272,10 @@ def _staggered_forward(ll, trans, likelihood_scale, axis_name):
 
 
 def _backward_scan_with_ratios(filt_xs, prior_xs, trans, smooth_init):
-    """_backward_scan_prob variant that returns the per-step pull ratios
-    (the pairwise-joint accumulation happens at the pipeline level after
-    masking out padded / global-last rows)."""
-
-    def step(p_smooth_next, x):
-        p_filt_t, p_prior_next = x
-        safe_prior = jnp.where(p_prior_next > 0, p_prior_next, 1.0)
-        r = jnp.where(p_prior_next > 0, p_smooth_next / safe_prior, 0.0)
-        p_smooth = p_filt_t * trans.pull(r)
-        p_smooth = p_smooth / jnp.maximum(
-            jnp.sum(p_smooth), jnp.finfo(p_smooth.dtype).tiny
-        )
-        return p_smooth, (p_smooth, r)
-
-    _, (smooth, ratios) = lax.scan(
-        step, smooth_init, (filt_xs, prior_xs), reverse=True
-    )
-    return smooth, ratios
+    """The single-device backward step body (hmm._backward_scan_prob_ratios);
+    the pairwise-joint accumulation happens at the pipeline level after
+    masking out padded / global-last rows."""
+    return _backward_scan_prob_ratios(filt_xs, prior_xs, trans, smooth_init)
 
 
 def _staggered_backward(filt, prior, trans, axis_name, n_time_valid=None):

@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
-import optax
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -114,35 +113,22 @@ def _single_run_em(
     n_basis = basis.shape[1]
     params = jr.normal(k_params, (n_basis, y.shape[1]))
 
-    opt = optax.adam(m_step_size)
-    opt_state = opt.init(params)
     hyperparam = {"param_prior_std": hp_scalars["param_prior_std"]}
-
-    def adam_mstep(params, opt_state, y_w, t_w):
-        def objective(p):
-            return fth.poisson_m_step_objective(p, hyperparam, basis, y_w, t_w)
-
-        def cond_fun(c):
-            i, _, _, loss, loss_prev = c
-            rel = jnp.abs(loss - loss_prev) / jnp.maximum(jnp.abs(loss), 1e-8)
-            return (i < (m_maxiter - 1)) & ((i < 5) | (rel > m_tol))
-
-        def body_fun(c):
-            i, p, s, loss, _ = c
-            new_loss, grads = jax.value_and_grad(objective)(p)
-            updates, s = opt.update(grads, s, p)
-            return (i + 1, optax.apply_updates(p, updates), s, new_loss, loss)
-
-        loss0 = objective(params)
-        _, params, opt_state, final_loss, _ = lax.while_loop(
-            cond_fun, body_fun, (0, params, opt_state, loss0, loss0)
-        )
-        return params, opt_state, final_loss
+    # the ONE while-loop Adam definition (reference stopping rule lives in
+    # ops/mstep.make_adam_runner; the model-class sweep variant below uses
+    # the same runner)
+    adam_run, opt_init = fth.make_adam_runner(
+        fth.poisson_m_step_objective, m_step_size, maxiter=m_maxiter,
+        tol=m_tol,
+    )
+    opt_state = opt_init(params)
 
     def em_iter(carry, _):
         params, opt_state, log_post = carry
         y_w, t_w = fth.get_statistics(log_post, y)
-        params, opt_state, final_loss = adam_mstep(params, opt_state, y_w, t_w)
+        res = adam_run(params, opt_state, hyperparam, basis, y_w, t_w)
+        params, opt_state = res["params"], res["opt_state"]
+        final_loss = res["final_loss"]
         tuning = fth.get_tuning_softplus(params, basis)
 
         ll = get_loglikelihood_ma_all(
@@ -263,7 +249,22 @@ def sweep_fit_poisson_jump(
         )  # (Bb, L, nb)
         hp_bucket = {k: v[idx_arr] for k, v in grid.items()}
         keys_bucket = keys[idx_arr]
-        if sharding is not None and len(idxs) % mesh.devices.size == 0:
+        pad = 0
+        if sharding is not None:
+            # pad the run axis to a device multiple (duplicating the last
+            # run) so EVERY bucket shards over the whole mesh — a
+            # non-divisible bucket would otherwise silently run on one
+            # device; padded rows are sliced off below
+            pad = (-len(idxs)) % mesh.devices.size
+
+            def _pad(v):
+                return jnp.concatenate(
+                    [v, jnp.repeat(v[-1:], pad, axis=0)]
+                ) if pad else v
+
+            hp_bucket = {k: _pad(v) for k, v in hp_bucket.items()}
+            keys_bucket = _pad(keys_bucket)
+            basis_stack = _pad(basis_stack)
             hp_bucket = jax.device_put(hp_bucket, sharding)
             keys_bucket = jax.device_put(keys_bucket, sharding)
             basis_stack = jax.device_put(basis_stack, sharding)
@@ -276,6 +277,8 @@ def sweep_fit_poisson_jump(
             y, basis_stack, tuple(hp_bucket[k] for k in hp_keys),
             keys_bucket,
         )
+        if pad:
+            res = {k: v[: len(idxs)] for k, v in res.items()}
         if len(idxs) == B:  # single bucket: keep batched arrays as-is
             results = dict(res)
             results["config_index"] = config_index

@@ -400,3 +400,51 @@ def test_auto_chunk_size_resolution():
     np.testing.assert_allclose(
         np.asarray(out_auto[0]), np.asarray(out_17[0]), atol=1e-5
     )
+
+
+def test_latent_transition_pytree_aux_stable_under_tracing():
+    """uniform_rows (pytree aux) must have the same length whether the
+    transition is built from a concrete matrix or inside a trace — a
+    mismatch makes structurally-identical Transitions incompatible as
+    jit/scan carries."""
+    import jax
+
+    from poor_man_gplvm_tpu.ops import hmm
+
+    L = 6
+    T_mat = jnp.full((L, L), 1.0 / L)
+    concrete = hmm.LatentTransition(T_mat, jnp.log(T_mat))
+    assert len(concrete.uniform_rows) == 1
+    assert concrete.uniform_rows[0] is True
+
+    captured = {}
+
+    def build(m):
+        tr = hmm.LatentTransition(m, jnp.log(m))
+        captured["aux"] = tr.uniform_rows
+        return tr.push(jnp.ones(L) / L)
+
+    jax.jit(build)(T_mat)
+    assert len(captured["aux"]) == 1  # traced fallback: same flag count
+    assert captured["aux"][0] is False  # tracers are never 'uniform'
+
+    # joint (3-D) stacks keep one flag per dynamics channel in both paths
+    stack = jnp.stack([T_mat, T_mat])
+    from poor_man_gplvm_tpu.ops.hmm import _uniform_row_flags
+
+    assert len(_uniform_row_flags(stack)) == 2
+
+
+def test_parallel_upgrade_respects_checkpoint_budget():
+    """memory_mode='checkpoint' only upgrades to the parallel-in-time
+    engine while the parallel driver's full-sequence buffers fit; other
+    modes always may.  The carry-spec gate shares the same predicate."""
+    from poor_man_gplvm_tpu.ops.hmm import _parallel_upgrade_ok
+
+    # north-star: ~10 GB of parallel buffers -> still upgrades
+    assert _parallel_upgrade_ok(1_000_000, 500, 2, "checkpoint")
+    # 2x north-star would need ~20 GB -> checkpoint contract honored
+    assert not _parallel_upgrade_ok(2_000_000, 500, 2, "checkpoint")
+    # non-checkpoint modes are never blocked by the budget
+    for mm in ("auto", "full", "filter", "filter_bf16"):
+        assert _parallel_upgrade_ok(2_000_000, 500, 2, mm)

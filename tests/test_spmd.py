@@ -58,6 +58,15 @@ def test_mesh_factorization():
     for n, b in [(8, 2), (4, 1), (2, 4), (1, 1)]:
         d, t, nn = spmd.factorize_devices(n, b)
         assert d * t * nn == n
+    # explicit axis requests are hard constraints; batch is only an upper
+    # bound on the free data axis (a greedy data allocation used to reject
+    # the feasible (1, 8, 1) mesh here)
+    assert spmd.factorize_devices(8, batch=4, n_time=8) == (1, 8, 1)
+    assert spmd.factorize_devices(8, batch=4, n_time=2) == (4, 2, 1)
+    assert spmd.factorize_devices(8, batch=2, n_time=2, n_neuron=2) == (2, 2, 2)
+    assert spmd.factorize_devices(8, batch=1, n_neuron=8) == (1, 1, 8)
+    with pytest.raises(ValueError):
+        spmd.factorize_devices(8, n_time=3)
 
 
 def test_sharded_em_step_matches_single_device(setup):

@@ -74,6 +74,31 @@ def test_sweep_sharded_matches_unsharded(y):
     )
 
 
+def test_sweep_sharded_nondivisible_bucket_matches(y):
+    """A bucket whose size does not divide the device count is padded to a
+    device multiple (not silently run unsharded) and still returns exactly
+    the unsharded results."""
+    from poor_man_gplvm_tpu.parallel import spmd
+
+    mesh = spmd.make_mesh(8, batch=8)
+    kwargs = dict(
+        n_repeat=3, n_iter=2, n_latent_bin=L, tuning_lengthscale=3.0,
+        m_maxiter=20, key=jr.PRNGKey(9),
+    )  # 1 config x 3 chains = 3 runs on 8 devices
+    res_local = sweep.sweep_fit_poisson_jump(
+        y, {"movement_variance": [1.0]}, **kwargs
+    )
+    res_sharded = sweep.sweep_fit_poisson_jump(
+        y, {"movement_variance": [1.0]}, mesh=mesh, **kwargs
+    )
+    assert np.asarray(res_sharded["log_marginal_l"]).shape == (3, 2)
+    np.testing.assert_allclose(
+        np.asarray(res_local["log_marginal_l"]),
+        np.asarray(res_sharded["log_marginal_l"]),
+        rtol=1e-4,
+    )
+
+
 def test_sweep_tuning_lengthscale_bucketed_matches_serial(y):
     """Sweeping tuning_lengthscale (shape-changing n_basis) via bucketed
     vmapped programs matches per-run serial fits (VERDICT round-1 item #6)."""
