@@ -209,9 +209,12 @@ def _staggered_forward(ll, trans, likelihood_scale, axis_name):
     stage-times.  Shard s's received carry at step k is always shard s-1's
     step-(k-1) output for the same chain, so the hand-off is exact.
 
-    Returns post, prior (B_local, T_local, *state), ratios
-    (B_local, T_local) [per-step log marginal ratios], lml (B_local,),
-    final_post (B_local, *state) — the last two broadcast to all shards."""
+    Returns post (B_local, T_local, *state), ratios (B_local, T_local)
+    [per-step log marginal ratios], lml (B_local,), final_post
+    (B_local, *state) — the last two broadcast to all shards.  The causal
+    priors are NOT stored: ``prior[t+1] == trans.push(post[t])`` exactly
+    (see ``_forward_scan_prob``), so the backward pass reconstructs them
+    with one batched push — halving the pipeline's per-device state."""
     nt = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     Bl, Tl = ll.shape[0], ll.shape[1]
@@ -226,7 +229,6 @@ def _staggered_forward(ll, trans, likelihood_scale, axis_name):
     )
 
     post = prom(jnp.zeros((Bl, Tl) + state_shape, dtype=ll.dtype))
-    prior = prom(jnp.zeros_like(post))
     ratios = prom(jnp.zeros((Bl, Tl), dtype=ll.dtype))
     lml = prom(jnp.zeros((Bl,), dtype=ll.dtype))
     final_post = prom(jnp.zeros((Bl,) + state_shape, dtype=ll.dtype))
@@ -234,7 +236,7 @@ def _staggered_forward(ll, trans, likelihood_scale, axis_name):
     perm_fwd = [(i, i + 1) for i in range(nt - 1)]
 
     def step_k(k, val):
-        recv, post, prior, ratios, lml, final_post = val
+        recv, post, ratios, lml, final_post = val
         b = k - idx
         valid = (b >= 0) & (b < Bl)
         bc = jnp.clip(b, 0, Bl - 1)
@@ -244,11 +246,10 @@ def _staggered_forward(ll, trans, likelihood_scale, axis_name):
             lambda f, r: jnp.where(idx == 0, f, r), fresh, recv
         )
         ll_b = lax.dynamic_index_in_dim(ll, bc, axis=0, keepdims=False)
-        p_out, pr_out, ra_out, carry_out = _forward_scan_prob(
+        p_out, _pr_out, ra_out, carry_out = _forward_scan_prob(
             ll_b, trans, carry0, likelihood_scale
         )
         post = _commit(post, p_out, bc, valid)
-        prior = _commit(prior, pr_out, bc, valid)
         ratios = _commit(ratios, ra_out, bc, valid)
         on_last = valid & (idx == nt - 1)
         lml = _commit(lml, carry_out[1], bc, on_last)
@@ -256,11 +257,11 @@ def _staggered_forward(ll, trans, likelihood_scale, axis_name):
         recv = jax.tree.map(
             lambda x: lax.ppermute(x, axis_name, perm_fwd), carry_out
         )
-        return recv, post, prior, ratios, lml, final_post
+        return recv, post, ratios, lml, final_post
 
-    _, post, prior, ratios, lml, final_post = lax.fori_loop(
+    _, post, ratios, lml, final_post = lax.fori_loop(
         0, Bl + nt - 1, step_k,
-        (fresh, post, prior, ratios, lml, final_post),
+        (fresh, post, ratios, lml, final_post),
     )
     # broadcast the last shard's finals to every time shard
     def _bcast(x):
@@ -268,7 +269,7 @@ def _staggered_forward(ll, trans, likelihood_scale, axis_name):
             jnp.where(idx == nt - 1, x, jnp.zeros_like(x)), axis_name
         )
 
-    return post, prior, ratios, _bcast(lml), _bcast(final_post)
+    return post, ratios, _bcast(lml), _bcast(final_post)
 
 
 def _backward_scan_with_ratios(filt_xs, prior_xs, trans, smooth_init):
@@ -278,9 +279,16 @@ def _backward_scan_with_ratios(filt_xs, prior_xs, trans, smooth_init):
     return _backward_scan_prob_ratios(filt_xs, prior_xs, trans, smooth_init)
 
 
-def _staggered_backward(filt, prior, trans, axis_name, n_time_valid=None):
+def _staggered_backward(filt, trans, axis_name, n_time_valid=None):
     """Software-pipelined exact smoother (reverse stage order) over a
-    time-sharded batch.  filt/prior: (B_local, T_local, *state).
+    time-sharded batch.  filt: (B_local, T_local, *state).
+
+    The +1-shifted causal priors the smoother consumes are reconstructed
+    locally with one batched transition push — ``prior[t+1] ==
+    trans.push(post[t])`` bit-exactly (see ``_forward_scan_prob``; same
+    identity as hmm's filterstore mode), and a non-last shard's
+    next-shard-first-prior is the push of its OWN last posterior, so no
+    prior buffer and no extra ppermute are needed.
 
     Uniform-shape trick: the globally last row is made a no-op by feeding a
     ones carry/prior (pull ratio == 1, so smooth == filt there, matching
@@ -295,13 +303,16 @@ def _staggered_backward(filt, prior, trans, axis_name, n_time_valid=None):
     vma = jax.typeof(filt).vma | {axis_name}
     prom = partial(_match_vma, target_vma=vma)
 
-    # next shard's first prior, per chain (device i receives from i+1)
     perm_bwd = [(i + 1, i) for i in range(nt - 1)]
-    recv_first_prior = lax.ppermute(prior[:, 0], axis_name, perm_bwd)
-    ones_state = prom(jnp.ones_like(prior[:, 0]))  # (Bl, *state)
-    next_first_prior = jnp.where(is_last, ones_state, recv_first_prior)
-    prior_shifted = jnp.concatenate(
-        [prior[:, 1:], next_first_prior[:, None]], axis=1
+    prior_shifted = jax.vmap(trans.push_batch)(filt)
+    ones_state = prom(jnp.ones_like(filt[:, 0]))  # (Bl, *state)
+    # the globally last row's prior is the ones no-op, not push(post[-1])
+    prior_shifted = jnp.where(
+        is_last,
+        jnp.concatenate(
+            [prior_shifted[:, :-1], ones_state[:, None]], axis=1
+        ),
+        prior_shifted,
     )
 
     smooth = prom(jnp.zeros_like(filt))
@@ -715,11 +726,11 @@ def _smooth_program(mesh, observation_model, has_dt, noise_is_vec,
         if time_engine == "pscan":
             return _pscan_smooth_local(ll, trans, scale, t_true, "time")
 
-        post, prior, ratios, lml, _final = _staggered_forward(
+        post, ratios, lml, _final = _staggered_forward(
             ll[None], trans, scale, "time"
         )
         smooth, acc = _staggered_backward(
-            post, prior, trans, "time", n_time_valid=t_true
+            post, trans, "time", n_time_valid=t_true
         )
         return (
             prob_to_log(smooth[0]),
@@ -861,14 +872,14 @@ def make_sharded_em_step(
             )(y, tuning_local),
             "neuron",
         )
-        post_f, prior_f, _ratios, lml, _final = _staggered_forward(
+        post_f, _ratios, lml, _final = _staggered_forward(
             ll, trans, likelihood_scale, "time"
         )
         if emission != "poisson":
             # analytic M-step has no loss; emit a zero with lml's vma so
             # the P('data') out_spec type-checks
             final_loss = 0.0 * lml
-        smooth, _acc = _staggered_backward(post_f, prior_f, trans, "time")
+        smooth, _acc = _staggered_backward(post_f, trans, "time")
         # latent marginal for the next M-step (reference core.py:668)
         if smooth.ndim == 4:  # joint model: (Bl, Tl, n_dyn, L)
             post_latent = smooth.sum(axis=2)

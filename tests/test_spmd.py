@@ -114,10 +114,10 @@ def test_staggered_pipeline_matches_single_device(setup):
     ])  # (B, T, L)
 
     def prog(ll_local):
-        post, prior, ratios, lml, _final = spmd._staggered_forward(
+        post, ratios, lml, _final = spmd._staggered_forward(
             ll_local, trans, 1.0, "time"
         )
-        smooth, acc = spmd._staggered_backward(post, prior, trans, "time")
+        smooth, acc = spmd._staggered_backward(post, trans, "time")
         return post, smooth, ratios, acc, lml
 
     fn = jax.shard_map(
