@@ -63,7 +63,13 @@ def compute_acg_counts(spk, bin_s=0.001, half_window_s=0.25, t0=None,
             spk_arr = spk_arr[spk_arr >= t0]
         if t1 is not None:
             spk_arr = spk_arr[spk_arr <= t1]
-        zero_bin = np.argmin(np.abs(tau))
+        # zero-lag self-pairs land in the bin whose LEFT edge is 0
+        # (np.histogram bins are [left, right)); argmin(|tau|) would
+        # tie-break to the bin centered at -bin_s/2 and leave negative
+        # counts there plus uncorrected phantom pairs at +bin_s/2
+        edges = -half_window_s + np.arange(len(tau) + 1) * bin_s
+        zero_bin = int(np.searchsorted(edges, 0.0, side="right")) - 1
+        zero_bin = min(max(zero_bin, 0), len(counts) - 1)
         counts[zero_bin] -= len(spk_arr)
     return tau, counts
 

@@ -81,7 +81,12 @@ def align_brain_and_behavior(
     nearest = np.where(
         np.abs(middles - left) <= np.abs(middles - right), idx - 1, idx
     )
-    has_prior = np.array([np.any(event_times < m) for m in middles])
+    # `any(event_times < m)` == `m > first event` (event_times sorted for
+    # the searchsorted above); the per-bin loop was O(n_bins * n_events)
+    has_prior = (
+        middles > event_times.min() if len(event_times)
+        else np.zeros(len(middles), dtype=bool)
+    )
 
     def col(name):
         vals = events[name].values[nearest].astype(float)

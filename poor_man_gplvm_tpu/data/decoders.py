@@ -52,7 +52,10 @@ class GaussianBayesDecoder:
                 "X must be (N, T) and Y must be (T,) with matching timepoints."
             )
         K = self.n_bins
-        counts, sums, sq_sums = _class_sums(X, Y.astype(int), K)
+        Y_int = Y.astype(int)
+        if Y_int.size and (Y_int.min() < 0 or Y_int.max() >= K):
+            raise ValueError("Y contains labels outside [0, n_bins-1].")
+        counts, sums, sq_sums = _class_sums(X, Y_int, K)
         safe = np.maximum(counts, 1.0)
         self.mu_ = np.where(counts > 0, sums / safe, 0.0)
         var = np.where(
@@ -60,7 +63,7 @@ class GaussianBayesDecoder:
         )
         self.var_ = np.maximum(var, self.var_floor)
         self.log_prior_ = _log_prior(
-            np.bincount(Y.astype(int), minlength=K), K, self.uniform_prior
+            np.bincount(Y_int, minlength=K), K, self.uniform_prior
         )
         return self
 

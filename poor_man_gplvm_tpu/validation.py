@@ -77,8 +77,14 @@ def shuffle_and_decode(model, spk_tsdf, n_time_per_chunk=10000, dt_l=1,
             else:
                 raise ValueError(f"decoder_type {decoder_type} not supported")
             decoding_res_l.append(res)
+        # keep a None entry (e.g. log_likelihood_all under checkpoint/
+        # filter memory modes) as None, matching the batched path — not an
+        # object array of Nones
         return {
-            k: np.array([np.asarray(d[k]) for d in decoding_res_l])
+            k: (
+                None if decoding_res_l[0][k] is None
+                else np.array([np.asarray(d[k]) for d in decoding_res_l])
+            )
             for k in decoding_res_l[0].keys()
         }
 

@@ -104,11 +104,19 @@ def find_ach_ramp_onset(ach_data, smooth_win=1, finite_diff_window_s=1,
         t_l = ach_data.t
         ach_data = nap.Tsd(d=scipy.stats.zscore(np.asarray(ach_data.d)), t=t_l)
     if detrend_cutoff is not None:
-        from scipy.signal import butter, filtfilt
+        # same detrend as the reference (nap.apply_lowpass_filter, an
+        # order-4 zero-phase Butterworth) — a different filter order would
+        # remove a different trend and shift the detected onsets
+        if hasattr(nap, "apply_lowpass_filter"):
+            trend = np.asarray(
+                nap.apply_lowpass_filter(ach_data, detrend_cutoff).d
+            )
+        else:  # pragma: no cover - pynapple<0.7 fallback
+            from scipy.signal import butter, filtfilt
 
-        fs = 1.0 / np.median(np.diff(ach_data.t))
-        b, a = butter(2, detrend_cutoff / (fs / 2), btype="low")
-        trend = filtfilt(b, a, np.asarray(ach_data.d))
+            fs = 1.0 / np.median(np.diff(ach_data.t))
+            b, a = butter(4, detrend_cutoff / (fs / 2), btype="low")
+            trend = filtfilt(b, a, np.asarray(ach_data.d))
         ach_data = nap.Tsd(d=np.asarray(ach_data.d) - trend, t=ach_data.t)
 
     dt = np.median(np.diff(ach_data.t))

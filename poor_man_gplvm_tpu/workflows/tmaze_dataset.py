@@ -94,7 +94,18 @@ def classify_latent(map_latent, position_tsdf, speed_tsd, tmaze_xy_sampled_all,
 
     speed_tsd = speed_tsd.interpolate(map_latent)
     position_tsdf = position_tsdf.interpolate(map_latent)
-    xy = np.asarray(position_tsdf.d)[:, :2]
+    # select the x/y columns BY NAME like the reference (the frame may
+    # carry extra columns, e.g. a leading linearized coordinate, whose
+    # silent inclusion would corrupt dist-to-maze and DBSCAN)
+    cols_attr = getattr(position_tsdf, "columns", None)
+    cols = [] if cols_attr is None else [str(c) for c in list(cols_attr)]
+    if "x" in cols and "y" in cols:
+        xy = np.column_stack(
+            [np.asarray(position_tsdf["x"].d),
+             np.asarray(position_tsdf["y"].d)]
+        )
+    else:
+        xy = np.asarray(position_tsdf.d)[:, :2]
 
     occ = get_latent_occurance_index_per_speed_level(
         map_latent, speed_tsd, [speed_thresh]

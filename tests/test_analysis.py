@@ -334,3 +334,27 @@ def test_filter_df_with_spec():
 
     with pytest.raises(KeyError):
         filter_df_with_spec(df, ["nope", ">", 1])
+
+
+def test_acg_zero_lag_correction_targets_right_bin():
+    """Zero-lag self-pairs must be removed from the bin whose LEFT edge is
+    0 (where np.histogram puts them) — not argmin(|tau|), which tie-breaks
+    to the bin centered at -bin_s/2 and left negative counts plus phantom
+    pairs."""
+    spk = np.array([1.0, 2.0, 3.0])
+    tau, counts = analysis.compute_acg_counts(
+        spk, bin_s=0.001, half_window_s=0.25
+    )
+    assert (counts >= 0).all()
+    # the three self-pairs are gone from the zero-containing bin
+    zero_bin = np.searchsorted(
+        -0.25 + np.arange(len(tau) + 1) * 0.001, 0.0, side="right"
+    ) - 1
+    assert counts[zero_bin] == 0
+    # spikes 1 s apart: no other pairs inside the 0.25 s window
+    assert counts.sum() == 0
+    # with exclusion off, the self-pairs are present exactly there
+    _, counts_keep = analysis.compute_acg_counts(
+        spk, bin_s=0.001, half_window_s=0.25, exclude_zero=False
+    )
+    assert counts_keep[zero_bin] == 3
