@@ -98,7 +98,10 @@ def get_naive_bayes_ma_gain(y_l, tuning, hyperparam, ma_neuron, ma_latent,
     )
     log_marginal_l = logsumexp(ll, axis=-1, keepdims=True)
     log_post = ll - log_marginal_l
-    return log_post, jnp.squeeze(log_marginal_l), jnp.sum(log_marginal_l), ll
+    # [:, 0] (not squeeze): squeeze would collapse a length-1 chunk to a
+    # 0-d scalar and break the chunked concatenation (reference bug,
+    # fixed like emissions.get_naive_bayes_ma)
+    return log_post, log_marginal_l[:, 0], jnp.sum(log_marginal_l), ll
 
 
 def get_naive_bayes_ma_chunk_gain(y, tuning, hyperparam, ma_neuron, ma_latent,

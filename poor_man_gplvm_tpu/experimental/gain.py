@@ -27,6 +27,7 @@ from jax.scipy.stats import norm
 
 from poor_man_gplvm_tpu.models.jump1d import PoissonGPLVMJump1D
 from poor_man_gplvm_tpu.ops import emissions, hmm
+from poor_man_gplvm_tpu.utils import compat
 from poor_man_gplvm_tpu.ops import kernels as gpk
 from poor_man_gplvm_tpu.ops import mstep as fth
 from poor_man_gplvm_tpu.ops.emissions import PRECISION
@@ -193,8 +194,13 @@ class PoissonGPLVMGain1D_gain(PoissonGPLVMJump1D):
         gain_refit_n_iter=1, t_l=None,
     ):
         """Naive-Bayes decode with iterative gain refitting
-        (reference core_exp.py:95-126)."""
+        (reference core_exp.py:95-126; the reference has no ``t_l`` — it
+        is honored here like the sibling classes: TsdFrame input or an
+        explicit ``t_l`` yields a time-indexed ``posterior_latent``)."""
         hyperparam = {} if hyperparam is None else hyperparam
+        if compat.is_tsdframe(y):
+            t_l = y.t
+            y = y.d
         if tuning is None:
             tuning = self.tuning
         if ma_neuron is None:
@@ -222,13 +228,18 @@ class PoissonGPLVMGain1D_gain(PoissonGPLVMJump1D):
                 observation_model="poisson",
             )
         )
-        return {
+        res = {
             "log_posterior": log_post,
             "log_marginal_l": log_marginal_l,
             "log_marginal": float(log_marginal_total),
             "ll_per_pos_l": ll_per_pos_l,
             "gain": gain,
         }
+        if t_l is not None:
+            res["posterior_latent"] = compat.tsdframe(
+                d=np.exp(np.asarray(log_post)), t=t_l
+            )
+        return res
 
     # ------------------------------------------------------------------
     def m_step(self, param_curr, y, log_posterior_curr, tuning_basis,

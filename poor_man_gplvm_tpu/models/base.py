@@ -608,6 +608,19 @@ class _GPLVMCommon(ABC):
                 basis_type=self.basis_type,
                 custom_kernel=self.custom_tuning_kernel,
             )
+            if tuning_basis.shape[1] != self.params.shape[0]:
+                # the swept lengthscale changed the basis RANK: the old
+                # params (and any optimizer state built from them) no
+                # longer fit, so re-initialize them for the new shape
+                # (the reference crashes in its first M-step here,
+                # core.py:296-300 — documented fix)
+                self.tuning_basis = tuning_basis
+                self.n_basis = tuning_basis.shape[1]
+                self.initialize_params(key)
+                key, _ = jax.random.split(key, 2)
+                if (opt_state_curr is not None
+                        and self.opt_state_init_fun is not None):
+                    opt_state_curr = self.opt_state_init_fun(self.params)
         else:
             tuning_basis = self.tuning_basis
 
@@ -652,6 +665,15 @@ class _GPLVMCommon(ABC):
                             "larger n_iter to continue training, or load "
                             "the checkpoint state directly."
                         )
+
+        if n_iter <= start_iter:
+            # an empty iteration schedule would leave tuning /
+            # log_posterior_all unbound below and die with a confusing
+            # UnboundLocalError (same guard as the resume case above)
+            raise ValueError(
+                f"n_iter={n_iter} requests no EM iterations "
+                f"(start_iter={start_iter}); n_iter must be >= 1."
+            )
 
         log_posterior_all_saved, params_saved = [], []
         tuning_saved, iter_saved, log_marginal_saved = [], [], []

@@ -20,6 +20,33 @@ from poor_man_gplvm_tpu.ops.kernels import rbf_gram
 __all__ = ["generate_basis"]
 
 
+def _bspline_design(n_points, n_basis, order=4):
+    """(n_points, n_basis) cubic-by-default B-spline design matrix on a
+    uniform grid over [0, 1] with clamped (repeated-boundary) knots — the
+    scipy equivalent of the nemos ``BSplineEval(n_basis)
+    .evaluate_on_grid(n_points)`` call the reference left commented out
+    (reference core.py:57-59)."""
+    from scipy.interpolate import BSpline
+
+    if n_basis < order:
+        raise ValueError(
+            f"bspline basis needs n_basis >= order ({order}); got {n_basis}"
+        )
+    degree = order - 1
+    n_interior = n_basis - order
+    interior = (
+        np.linspace(0.0, 1.0, n_interior + 2)[1:-1]
+        if n_interior > 0 else np.empty(0)
+    )
+    knots = np.concatenate(
+        [np.zeros(order), interior, np.ones(order)]
+    )
+    x = np.linspace(0.0, 1.0 - 1e-9, n_points)  # keep last point in-span
+    return np.asarray(
+        BSpline.design_matrix(x, knots, degree).toarray(), dtype=np.float32
+    )
+
+
 def generate_basis(
     lengthscale,
     n_latent_bin,
@@ -27,6 +54,7 @@ def generate_basis(
     include_bias=True,
     basis_type="rbf",
     custom_kernel=None,
+    n_basis_bspline=None,
 ):
     """Build the (L, n_basis[+1]) tuning basis.
 
@@ -34,9 +62,28 @@ def generate_basis(
     thresh).sum() + 1`` — the first index whose cumulative share crosses the
     threshold.  Columns scaled by ``s**0.25`` (the *fourth* root,
     reference core.py:55-56).
+
+    ``basis_type='bspline'``: clamped cubic B-splines on the latent grid
+    (``n_basis_bspline`` functions, default ``max(4, L // 3)``) — the
+    branch the reference commented out (core.py:57-59) yet still selects
+    its smoothness-penalized M-step objective for; implemented here so
+    ``smoothness_penalty`` is reachable.
     """
     if custom_kernel is not None:
         basis_type = "custom_kernel"
+
+    if basis_type == "bspline":
+        nb = (
+            int(n_basis_bspline) if n_basis_bspline is not None
+            else max(4, n_latent_bin // 3)
+        )
+        tuning_basis = jnp.asarray(_bspline_design(n_latent_bin, nb))
+        if include_bias:
+            tuning_basis = jnp.concatenate(
+                [jnp.ones((n_latent_bin, 1), dtype=tuning_basis.dtype),
+                 tuning_basis], axis=1,
+            )
+        return tuning_basis
 
     if basis_type == "rbf":
         possible_latent_bin = jnp.arange(n_latent_bin)

@@ -52,7 +52,6 @@ def get_tuning_softplus(params, basis):
 
 
 @jax.jit
-@jax.jit
 def _get_statistics_block(log_posterior_probs, y):
     posterior_probs = jnp.exp(log_posterior_probs)
     y_weighted = jnp.matmul(posterior_probs.T, y, precision=PRECISION)

@@ -141,14 +141,11 @@ def filter_chunk_pallas(ll, tlat, tdyn, p_init, likelihood_scale,
     # (marginal no-op: sum(prior) == 1)
     m = jnp.max(ll, axis=1)
     w = jnp.exp(likelihood_scale * (ll - m[:, None]))
+    # rows T: keep their init value [ones(L), zeros(Lp-L)] — the padded
+    # time rows' marginal no-op weights
     w_p = jnp.ones((Tp, Lp), dtype=jnp.float32)
     w_p = w_p.at[:, L:].set(0.0)
     w_p = w_p.at[:T, :L].set(w)
-    w_p = w_p.at[T:, :].set(
-        jnp.concatenate(
-            [jnp.ones(L, dtype=jnp.float32), jnp.zeros(Lp - L, dtype=jnp.float32)]
-        )
-    )
     tlat_p = jnp.zeros((n_dyn, Lp, Lp), dtype=jnp.float32)
     tlat_p = tlat_p.at[:, :L, :L].set(tlat)
     init_p = jnp.zeros((n_dyn, Lp), dtype=jnp.float32).at[:, :L].set(p_init)

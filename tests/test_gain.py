@@ -167,3 +167,25 @@ def test_gain_decode_and_fit_sharded_matches_serial():
         np.asarray(em_b["posterior"]), np.asarray(em_a["posterior"]),
         rtol=2e-3, atol=1e-5,
     )
+
+
+def test_gain_nb_decode_tsdframe_and_short_chunk():
+    """The gain naive-Bayes decode honors TsdFrame input / t_l like its
+    siblings, and a length-1 trailing chunk no longer breaks the chunked
+    concatenation (reference squeeze bug)."""
+    import numpy as np
+
+    from poor_man_gplvm_tpu.experimental import PoissonGPLVMGain1D_gain
+    from poor_man_gplvm_tpu.utils.timeseries import TsdFrame
+
+    m = PoissonGPLVMGain1D_gain(6, n_latent_bin=8, tuning_lengthscale=2.0)
+    _, y = m.sample(21, key=jr.PRNGKey(0))
+    res = m.decode_latent_naive_bayes(
+        np.asarray(y), n_time_per_chunk=10
+    )  # chunks 10+10+1: trailing length-1 chunk
+    assert np.asarray(res["log_marginal_l"]).shape == (21,)
+
+    t = np.arange(21) * 0.1
+    res_t = m.decode_latent_naive_bayes(TsdFrame(d=np.asarray(y), t=t))
+    assert "posterior_latent" in res_t
+    np.testing.assert_allclose(res_t["posterior_latent"].t, t)

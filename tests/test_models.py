@@ -482,3 +482,56 @@ def test_set_matmul_precision_knob():
     finally:
         cfg.set_matmul_precision("highest")
     assert emissions.PRECISION == jax.lax.Precision.HIGHEST
+
+
+def test_fit_em_rejects_empty_schedule():
+    m = pmg.PoissonGPLVMJump1D(6, n_latent_bin=8, tuning_lengthscale=2.0)
+    _, y = m.sample(50, key=jr.PRNGKey(0))
+    with pytest.raises(ValueError, match="n_iter"):
+        m.fit_em(y, n_iter=0, verboase=False)
+
+
+def test_fit_em_swept_lengthscale_rank_change():
+    """Sweeping tuning_lengthscale via hyperparam regenerates the basis;
+    when the basis RANK changes the params/opt-state are re-initialized
+    for the new shape instead of crashing in the first M-step (the
+    reference dies with a dot-dimension mismatch here, core.py:296-300)."""
+    m = pmg.PoissonGPLVMJump1D(8, n_latent_bin=16, tuning_lengthscale=6.0)
+    _, y = m.sample(120, key=jr.PRNGKey(0))
+    k_old = m.params.shape[0]
+    em = m.fit_em(y, hyperparam={"tuning_lengthscale": 1.5}, n_iter=2,
+                  verboase=False, key=jr.PRNGKey(1))
+    assert np.isfinite(np.asarray(em["log_marginal_l"])).all()
+    assert m.params.shape[0] == m.tuning_basis.shape[1] == m.n_basis
+    assert m.params.shape[0] != k_old  # the sweep genuinely changed rank
+    # and decode with the refit model works
+    dec = m.decode_latent(np.asarray(y), hyperparam={})
+    assert np.isfinite(dec["log_marginal_final"])
+
+
+def test_bspline_basis_and_smoothness_penalty():
+    """basis_type='bspline' is reachable (the reference comments it out
+    yet selects the smoothness objective for it) and the penalty smooths
+    the tuning."""
+    from poor_man_gplvm_tpu.ops.basis import generate_basis
+
+    b = np.asarray(generate_basis(None, 30, basis_type="bspline"))
+    assert b.shape[0] == 30 and b.shape[1] >= 5
+    # partition of unity over the non-bias columns
+    np.testing.assert_allclose(b[:, 1:].sum(axis=1), 1.0, atol=1e-5)
+
+    def rough(t):
+        return float((np.diff(np.asarray(t), n=2, axis=0) ** 2).sum())
+
+    m_lo = pmg.PoissonGPLVMJump1D(8, n_latent_bin=20, basis_type="bspline",
+                                  smoothness_penalty=5.0,
+                                  tuning_lengthscale=3.0)
+    _, y = m_lo.sample(150, key=jr.PRNGKey(0))
+    em = m_lo.fit_em(y, key=jr.PRNGKey(1), n_iter=3, verboase=False)
+    lml = np.asarray(em["log_marginal_l"])
+    assert np.isfinite(lml).all() and lml[-1] > lml[0]
+    m_hi = pmg.PoissonGPLVMJump1D(8, n_latent_bin=20, basis_type="bspline",
+                                  smoothness_penalty=500.0,
+                                  tuning_lengthscale=3.0)
+    m_hi.fit_em(y, key=jr.PRNGKey(1), n_iter=3, verboase=False)
+    assert rough(m_hi.tuning) < rough(m_lo.tuning)
