@@ -931,17 +931,19 @@ def smooth_combined_chunked(
 
 
 def _parallel_upgrade_ok(n_time, n_latent, n_dyn, memory_mode):
-    """Whether memory_mode permits the pallas -> pallas_parallel
-    auto-upgrade.  'checkpoint' promises O(chunk) state, which the
-    parallel driver cannot honor (it materializes full-sequence
-    weight/posterior buffers), so under checkpoint the upgrade is allowed
-    only while those buffers provably fit: ~4*T*Lp bytes of likelihood
-    weights + ~4*T*n_dyn*Lp of filter posteriors + outputs, budgeted at
-    12 GB of a 16 GB chip.  Single definition shared by
-    ``smooth_combined_chunked`` and ``parallel_scan_carry_spec`` so the
-    two gates can never disagree."""
-    if memory_mode != "checkpoint":
-        return True
+    """Whether this shape/mode permits the pallas -> pallas_parallel
+    auto-upgrade.  The parallel driver materializes full-sequence
+    weight/posterior buffers (~4*T*Lp of likelihood weights +
+    ~4*T*n_dyn*Lp of f32 filter posteriors + outputs) with no O(chunk)
+    fallback, so the upgrade is allowed only while those buffers provably
+    fit — budgeted at 12 GB of a 16 GB chip.  This guards EVERY memory
+    mode (at e.g. T=3e6, L=500 the buffers are ~30 GB; the sequential
+    engine's chunked/checkpointed paths still run), and in particular
+    honors 'checkpoint''s O(chunk)-state promise.  An explicit
+    engine='pallas_parallel' bypasses this (the user asked for it).
+    Single definition shared by ``smooth_combined_chunked`` and
+    ``parallel_scan_carry_spec`` so the two gates can never disagree."""
+    del memory_mode  # the buffer bound applies to every mode
     Lp = -(-n_latent // 128) * 128
     est_bytes = 4.0 * n_time * Lp * (1 + 2 * max(1, n_dyn))
     return est_bytes <= 12e9
@@ -1152,7 +1154,6 @@ def _smooth_chunked_checkpoint(
         first_prior_next_r = jnp.concatenate(
             [first_prior_h[1:], prior_t[0][None]], axis=0
         )
-        tail_first_prior = prior_t[0]
         del post_t, prior_t, smooth_t_raw
         smooth_h, bwd_carry = _backward_ckpt_scan_head(
             y, tuning, hyperparam, trans, ma_neuron, ma_latent, p_in_h,

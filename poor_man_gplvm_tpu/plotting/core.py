@@ -13,8 +13,14 @@ import os
 
 import matplotlib
 
-if os.environ.get("DISPLAY", "") == "" and matplotlib.get_backend() not in (
-    "agg", "Agg"
+_backend = matplotlib.get_backend().lower()
+if (
+    os.environ.get("DISPLAY", "") == ""
+    # only replace X11-dependent GUI backends: non-GUI backends like the
+    # Jupyter inline one ("module://matplotlib_inline...") render fine
+    # without a display and must not be hijacked
+    and not _backend.startswith("module://")
+    and _backend not in ("agg", "pdf", "svg", "ps", "cairo", "template")
 ):
     matplotlib.use("Agg")
 

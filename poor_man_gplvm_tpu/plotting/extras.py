@@ -25,13 +25,16 @@ __all__ = [
 
 
 def p_to_star(p_value):
-    """Significance stars from a p-value
+    """Significance stars from a p-value — the reference's exact tiers
+    with inclusive upper bounds and a '****' tier
     (reference _plot_helper_backup.py:23-34)."""
-    if p_value < 0.001:
+    if p_value <= 0.0001:
+        return "****"
+    if p_value <= 0.001:
         return "***"
-    if p_value < 0.01:
+    if p_value <= 0.01:
         return "**"
-    if p_value < 0.05:
+    if p_value <= 0.05:
         return "*"
     return "n.s."
 

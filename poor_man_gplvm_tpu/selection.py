@@ -9,6 +9,7 @@ one SPMD program over a device mesh (see poor_man_gplvm_tpu.parallel.sweep).
 from __future__ import annotations
 
 import itertools
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -516,8 +517,11 @@ def _model_selection_one_split_batched(
     # eval key shared across fracs and chains WITHIN a config)
     masks_per_run = {}
     model_class = model_class_dict[model_class_str]
+    # the model class's real ctor default (sweep._config_defaults), not a
+    # duplicated literal that could desynchronize
+    _L_default = _sweep._config_defaults(model_class_str)["n_latent_bin"]
     L_per_cfg = [
-        cfg.get("n_latent_bin", 100) for cfg in hyperparam_grid_l
+        cfg.get("n_latent_bin", _L_default) for cfg in hyperparam_grid_l
     ]
     if "downsampled_lml" in metric_type_l:
         for frac in latent_downsample_frac:
@@ -623,6 +627,26 @@ def _model_selection_one_split_batched(
     }
 
 
+@partial(jax.jit, static_argnames=["observation_model"])
+def _masked_lml_batch(y_test, tuning, hyper, trans, ma_neuron, masks,
+                      observation_model):
+    """All latent-mask decodes of ``get_downsampled_lml`` as one vmapped
+    forward-filter program.  Module-level jit: a per-call
+    ``jax.jit(jax.vmap(...))`` wrapper would retrace+recompile the whole
+    T-step scan on EVERY (frac, chain) evaluation.  The 1-D (N,) neuron
+    mask passes straight through — a dense (T, N) mask would add ~T*N*4
+    bytes of pointless operand per decode."""
+    from poor_man_gplvm_tpu.ops import hmm
+
+    def one(mask):
+        return hmm.forward_filter_lml(
+            y_test, tuning, hyper, trans, ma_neuron, mask,
+            observation_model=observation_model,
+        )
+
+    return jax.vmap(one)(masks)
+
+
 def get_downsampled_lml(
     model_fit, y_test, downsample_frac=0.2, n_repeat=10, key=None, **kwargs
 ):
@@ -637,29 +661,15 @@ def get_downsampled_lml(
         key, model_fit.n_latent_bin, downsample_frac, n_repeat
     )
     if not kwargs:
-        import jax
-
-        from poor_man_gplvm_tpu.ops import hmm
-
         hyper = {}
         if hasattr(model_fit, "noise_std"):
             hyper["noise_std"] = model_fit.noise_std
         trans, _ = model_fit._make_transition(hyper)
-        tuning = model_fit.tuning
-        ma_neuron = model_fit.ma_neuron_default
-        obs = model_fit.observation_model
-        y_test = jnp.asarray(y_test, dtype=jnp.float32)
-
-        def one(mask):
-            # pass the 1-D (N,) mask straight through — materializing a
-            # dense (T, N) mask would add ~T*N*4 bytes of pointless operand
-            # per vmapped decode (2 GB at the north-star scale)
-            return hmm.forward_filter_lml(
-                y_test, tuning, hyper, trans, ma_neuron, mask,
-                observation_model=obs,
-            )
-
-        lml_l = np.asarray(jax.jit(jax.vmap(one))(masks))
+        lml_l = np.asarray(_masked_lml_batch(
+            jnp.asarray(y_test, dtype=jnp.float32), model_fit.tuning, hyper,
+            trans, model_fit.ma_neuron_default, masks,
+            model_fit.observation_model,
+        ))
     else:
         lml_l = [
             model_fit.decode_latent(y_test, ma_latent=masks[i], **kwargs)[
@@ -684,9 +694,12 @@ def get_jump_consensus(
     jump_time_index_consensus = []
     whether_consensus_ma = []
     for jti in jump_time_index:
-        window = jump_p_all_chain[
-            max(0, jti - window_size) : jti + window_size, :
-        ]
+        # the raw (possibly negative-start) slice is the REFERENCE metric
+        # definition (model_selection_helper.py:285-286): for
+        # jti < window_size the slice is empty, so an early jump is never
+        # counted as consensus — clamping the start would change the
+        # metric (and hence model selection) for such jumps
+        window = jump_p_all_chain[jti - window_size : jti + window_size, :]
         whether = (window > jump_p_thresh).any(axis=0).mean() >= consensus_thresh
         whether_consensus_ma.append(whether)
         if whether:

@@ -166,8 +166,10 @@ def _compile_spec(df, spec, env, var_id):
         if not spec:
             raise ValueError("Empty spec list.")
         parts = [_compile_spec(df, node, env, var_id) for node in spec]
-        mask, q = _combine(df, parts, "all")
-        return mask, q.strip("()") if len(parts) > 1 else q
+        # NOTE: do not strip the outer parens — q.strip("()") removes ALL
+        # leading/trailing paren characters and produced unbalanced query
+        # strings like 'a > @v0) and (b < @v1'
+        return _combine(df, parts, "all")
 
     raise ValueError("Invalid spec structure.")
 

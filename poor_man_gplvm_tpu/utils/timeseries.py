@@ -457,7 +457,6 @@ class TsGroup:
     def count(self, bin_size):
         """Spike counts per unit in bins of bin_size over the time support.
         Returns TsdFrame (n_bins, n_units) with bin-center timestamps."""
-        counts_l, t_l = [], None
         edges_all, centers_all = [], []
         for s, e in zip(self.time_support.start, self.time_support.end):
             n_bins = max(int(np.ceil((e - s) / bin_size)), 1)

@@ -89,7 +89,12 @@ def main():
     dec.fit(counts[:, :split][:, finite[:split]],
             pos_bins[:split][finite[:split]])
     pred = dec.predict(counts[:, split:])
-    err = np.nanmedian(np.abs(pred - pos_bins[split:]))
+    # score only bins with valid tracking: digitize(NaN) clips to the max
+    # bin, which would mix fake labels into the reported error
+    test_finite = finite[split:]
+    err = np.nanmedian(
+        np.abs(pred[test_finite] - pos_bins[split:][test_finite])
+    )
     print(f"Bayes baseline: median |bin error| = {err:.1f} "
           f"({args.n_pos_bins} bins)")
 

@@ -328,6 +328,13 @@ def test_filter_df_with_spec():
     out6 = filter_df_with_spec(df, ["rate", "between", (1.5, 5.0)])
     assert list(out6["df"].index) == [1, 2]
 
+    # implicit-AND (bare list of leaves): the query string must stay
+    # balanced and round-trip (a paren-stripping bug used to emit
+    # 'a > @v0) and (b < @v1')
+    out7 = filter_df_with_spec(df, [["rate", ">", 1.5], ["region", "==", "DG"]])
+    assert list(out7["df"].index) == [2]
+    assert df.query(out7["query"], local_dict=out7["env"]).equals(out7["df"])
+
     # implicit AND list
     out7 = filter_df_with_spec(df, [["rate", ">", 1.5], ["region", "==", "DG"]])
     assert list(out7["df"].index) == [2]

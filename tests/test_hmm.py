@@ -435,16 +435,15 @@ def test_latent_transition_pytree_aux_stable_under_tracing():
     assert len(_uniform_row_flags(stack)) == 2
 
 
-def test_parallel_upgrade_respects_checkpoint_budget():
-    """memory_mode='checkpoint' only upgrades to the parallel-in-time
-    engine while the parallel driver's full-sequence buffers fit; other
-    modes always may.  The carry-spec gate shares the same predicate."""
+def test_parallel_upgrade_respects_hbm_budget():
+    """The pallas -> pallas_parallel auto-upgrade only fires while the
+    parallel driver's full-sequence buffers provably fit, for EVERY
+    memory mode (the sequential chunked engines still run beyond that).
+    The carry-spec gate shares the same predicate."""
     from poor_man_gplvm_tpu.ops.hmm import _parallel_upgrade_ok
 
-    # north-star: ~10 GB of parallel buffers -> still upgrades
-    assert _parallel_upgrade_ok(1_000_000, 500, 2, "checkpoint")
-    # 2x north-star would need ~20 GB -> checkpoint contract honored
-    assert not _parallel_upgrade_ok(2_000_000, 500, 2, "checkpoint")
-    # non-checkpoint modes are never blocked by the budget
-    for mm in ("auto", "full", "filter", "filter_bf16"):
-        assert _parallel_upgrade_ok(2_000_000, 500, 2, mm)
+    for mm in ("auto", "full", "checkpoint", "filter", "filter_bf16"):
+        # north-star: ~10 GB of parallel buffers -> upgrades
+        assert _parallel_upgrade_ok(1_000_000, 500, 2, mm)
+        # 2x north-star would need ~20 GB -> sequential engine instead
+        assert not _parallel_upgrade_ok(2_000_000, 500, 2, mm)

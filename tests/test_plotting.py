@@ -128,7 +128,11 @@ def test_extras():
         p_to_star, plot_pca3d, plot_rasterplot, turn_off_spines,
     )
 
-    assert p_to_star(0.0001) == "***"
+    # reference tiers: inclusive upper bounds, '****' at p <= 1e-4
+    assert p_to_star(0.0001) == "****"
+    assert p_to_star(0.0005) == "***"
+    assert p_to_star(0.001) == "***"
+    assert p_to_star(0.05) == "*"
     assert p_to_star(0.2) == "n.s."
     rng = np.random.default_rng(0)
     fig, ax = plot_rasterplot(event_l=[rng.uniform(0, 10, 20) for _ in range(5)])
