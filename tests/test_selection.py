@@ -186,7 +186,12 @@ def test_one_split_batched_equals_serial(data, model_class_str):
         "movement_variance": [0.5, 2.0],
         "n_latent_bin": [10, 14],
         "tuning_lengthscale": [2.0, 5.0],
-    }  # 8 configs x 2 chains = 16 runs
+    }
+    if model_class_str != "poisson":
+        # the full 8-config grid (incl. the dynamics-hyperparam axis) runs
+        # once on the flagship class; the second class re-proves the
+        # shape-changing axes only — 4 configs (suite wall-time, 1 CPU core)
+        grid.pop("movement_variance")
     fk = dict(FAST_FIT)
     fk["n_iter"] = 3
     fk["m_step_maxiter"] = 25
