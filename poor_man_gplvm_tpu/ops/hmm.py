@@ -734,7 +734,7 @@ def smooth_combined_chunked(
     n_dyn_ = getattr(trans, "n_dyn", 1)
     if (
         engine == "pallas"
-        and n_time_tot >= 100_000
+        and n_time_tot >= _PARALLEL_UPGRADE_MIN_T
         and _parallel_upgrade_ok(
             n_time_tot, trans.n_latent, n_dyn_, memory_mode
         )
@@ -930,6 +930,13 @@ def smooth_combined_chunked(
     )
 
 
+#: pallas -> pallas_parallel auto-upgrade floor.  Measured on one v5e chip
+#: (L=100, N=100, through the remote tunnel): T=50k decode 84 -> 53 ms
+#: (1.6x), T=10k 55 -> 49 ms; below ~20k the fixed dispatch/sync floor
+#: dominates and the extra program compile isn't worth it.
+_PARALLEL_UPGRADE_MIN_T = 20_000
+
+
 def _parallel_upgrade_ok(n_time, n_latent, n_dyn, memory_mode):
     """Whether this shape/mode permits the pallas -> pallas_parallel
     auto-upgrade.  The parallel driver materializes full-sequence
@@ -963,7 +970,7 @@ def parallel_scan_carry_spec(n_time, trans, engine, force=False,
     n_dyn = trans.n_dyn if is_joint else 1
     upgraded = (
         engine == "pallas_parallel"
-        or (engine == "pallas" and n_time >= 100_000
+        or (engine == "pallas" and n_time >= _PARALLEL_UPGRADE_MIN_T
             and _parallel_upgrade_ok(
                 n_time, trans.n_latent, n_dyn, memory_mode
             )
