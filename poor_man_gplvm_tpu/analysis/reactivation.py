@@ -125,16 +125,16 @@ def circular_shuffle_spikes_within_epoch_and_decode(
 
     from poor_man_gplvm_tpu.ops import emissions, hmm
 
-    # identical RNG stream: shuffles drawn in the serial loop's (i, key)
-    # order, then stacked per key
-    shuffled_per_key = {k: [] for k in spk_mat_d}
+    # identical RNG stream: the serial loop draws one child seed per
+    # (shuffle, key) in this order — pre-draw only the cheap seeds here
+    # and materialize the shuffled matrices per decode batch below, so
+    # peak host memory is O(shuffle_batch_size * T * N), not
+    # O(n_shuffle * T * N) (hour-long epochs with n_shuffle=500 would
+    # otherwise stage 100s of GB before the first dispatch)
+    seeds_per_key = {k: [] for k in spk_mat_d}
     for _ in range(n_shuffle):
-        for k, v in spk_mat_d.items():
-            shuffled_per_key[k].append(
-                circular_shuffle_column_independently(
-                    v, min_shift=5, rng=rng.integers(2**31)
-                )
-            )
+        for k in spk_mat_d:
+            seeds_per_key[k].append(int(rng.integers(2**31)))
 
     tuning = model.tuning
     hyper = {}
@@ -170,14 +170,16 @@ def circular_shuffle_spikes_within_epoch_and_decode(
     # only the time-mean survives to the host: (S_batch, L) per dispatch
     mean_prog = jax.jit(jax.vmap(lambda y: one(y).mean(axis=0)))
     mean_per_key = {}
-    for k, stacks in shuffled_per_key.items():
-        y_all = np.stack(stacks)  # (S, T_k, N)
+    for k, seeds in seeds_per_key.items():
+        v = spk_mat_d[k]
         parts = []
         for s0 in tqdm.tqdm(range(0, n_shuffle, shuffle_batch_size),
                             disable=not verbose, desc=f"decode[{k}]"):
-            parts.append(np.asarray(
-                mean_prog(jnp.asarray(y_all[s0:s0 + shuffle_batch_size]))
-            ))
+            y_b = np.stack([
+                circular_shuffle_column_independently(v, min_shift=5, rng=s)
+                for s in seeds[s0:s0 + shuffle_batch_size]
+            ])  # (S_batch, T_k, N)
+            parts.append(np.asarray(mean_prog(jnp.asarray(y_b))))
         mean_per_key[k] = np.concatenate(parts, axis=0)  # (S, L)
 
     out = {}

@@ -170,11 +170,18 @@ def _batched_backend_applicable(hyperparam_dict, fit_kwargs, model_class_str,
         return False
     if n_configs * n_repeat <= 1:
         return False
-    if set(hyperparam_dict) - _sweep._SWEEPABLE_CTOR_KEYS:
+    # check against THIS family's ctor keys, not the all-family union:
+    # e.g. noise_std on a poisson class must fall through to the serial
+    # path so its immediate TypeError surfaces before any device work
+    if set(hyperparam_dict) - set(_sweep._config_defaults(model_class_str)):
         return False
     if set(fit_kwargs) - _BATCHED_FIT_KWARGS:
         return False
     if fit_kwargs.get("log_posterior_init") is not None:
+        return False
+    # the batched init reads only random_scale; unknown init kwargs must
+    # take the serial path, which raises TypeError like the reference
+    if set(fit_kwargs.get("posterior_init_kwargs") or {}) - {"random_scale"}:
         return False
     if float(fit_kwargs.get("dt", 1.0)) != 1.0:
         return False

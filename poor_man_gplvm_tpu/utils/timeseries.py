@@ -83,14 +83,30 @@ class IntervalSet:
         return IntervalSet(np.array(starts), np.array(ends))
 
     def intersect(self, other):
-        starts, ends = [], []
-        for s1, e1 in zip(self.start, self.end):
-            for s2, e2 in zip(other.start, other.end):
-                s, e = max(s1, s2), min(e1, e2)
-                if s <= e:
-                    starts.append(s)
-                    ends.append(e)
-        return IntervalSet(np.array(starts), np.array(ends))
+        # both sets are sorted and disjoint, so each of self's intervals
+        # overlaps a contiguous run of other's — searchsorted finds the
+        # run bounds and the pairs expand vectorized (O((n+m) log m);
+        # the nested-loop version went quadratic on noisy long traces,
+        # e.g. Tsd.threshold of a 1e6-sample trace over a 1e3-epoch
+        # support)
+        s1, e1 = np.asarray(self.start), np.asarray(self.end)
+        s2, e2 = np.asarray(other.start), np.asarray(other.end)
+        if len(s1) == 0 or len(s2) == 0:
+            return IntervalSet(np.empty(0), np.empty(0))
+        lo = np.searchsorted(e2, s1, side="left")   # first j: e2[j] >= s1[i]
+        hi = np.searchsorted(s2, e1, side="right")  # first j: s2[j] >  e1[i]
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return IntervalSet(np.empty(0), np.empty(0))
+        i_idx = np.repeat(np.arange(len(s1)), counts)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        j_idx = np.arange(total) - np.repeat(offsets, counts) \
+            + np.repeat(lo, counts)
+        starts = np.maximum(s1[i_idx], s2[j_idx])
+        ends = np.minimum(e1[i_idx], e2[j_idx])
+        keep = starts <= ends
+        return IntervalSet(starts[keep], ends[keep])
 
     def set_diff(self, other):
         """Intervals of self not covered by other."""

@@ -90,15 +90,26 @@ def shuffle_and_decode(model, spk_tsdf, n_time_per_chunk=10000, dt_l=1,
 
     if decoder_type not in ("naive_bayes", "dynamics"):
         raise ValueError(f"decoder_type {decoder_type} not supported")
+    import itertools
+
     import jax
 
     from poor_man_gplvm_tpu.ops import emissions
 
-    y_stack = np.stack([
-        np.asarray(s) for s in circular_shuffle_data(
-            spk_tsdf, n_shuffle=n_shuffle, ep=ep, seed=seed
-        )
-    ])  # (S, T, N)
+    # consume the shuffle generator one batch at a time: peak host memory
+    # is O(shuffle_batch_size * T * N), not O(n_shuffle * T * N) (an
+    # n_shuffle=100 null on a T=1e6 session would otherwise stage ~40 GB
+    # before the first dispatch).  The rng stream is drawn in the same
+    # serial order either way, so results are identical to the serial path.
+    shuffle_gen = circular_shuffle_data(
+        spk_tsdf, n_shuffle=n_shuffle, ep=ep, seed=seed
+    )
+
+    def _next_batch():
+        return np.stack([
+            np.asarray(s)
+            for s in itertools.islice(shuffle_gen, shuffle_batch_size)
+        ])
 
     tuning = model.tuning
     hyper = {}
@@ -116,11 +127,9 @@ def shuffle_and_decode(model, spk_tsdf, n_time_per_chunk=10000, dt_l=1,
                 observation_model=obs,
             )
         ))
-        for s0 in tqdm.tqdm(range(0, n_shuffle, shuffle_batch_size),
-                            disable=not verbose):
-            log_post, lml_l, lml_tot, ll = nb(
-                jnp.asarray(y_stack[s0:s0 + shuffle_batch_size])
-            )
+        for _ in tqdm.tqdm(range(0, n_shuffle, shuffle_batch_size),
+                           disable=not verbose):
+            log_post, lml_l, lml_tot, ll = nb(jnp.asarray(_next_batch()))
             out_batches.append({
                 "log_posterior_latent": np.asarray(log_post),
                 "log_marginal_l": np.asarray(lml_l),
@@ -147,9 +156,9 @@ def shuffle_and_decode(model, spk_tsdf, n_time_per_chunk=10000, dt_l=1,
         dec = jax.jit(jax.vmap(
             lambda y: prog(y, tuning, hyper, trans, ma_neuron, ma_latent, 1.0)
         ))
-        for s0 in tqdm.tqdm(range(0, n_shuffle, shuffle_batch_size),
-                            disable=not verbose):
-            res = dec(jnp.asarray(y_stack[s0:s0 + shuffle_batch_size]))
+        for _ in tqdm.tqdm(range(0, n_shuffle, shuffle_batch_size),
+                           disable=not verbose):
+            res = dec(jnp.asarray(_next_batch()))
             batch = {
                 # log_likelihood_all is None under checkpoint/filter memory
                 # modes (auto-selected at large T*L) — keep the key with

@@ -215,6 +215,35 @@ def test_one_split_batched_equals_serial(data, model_class_str):
     assert np.isfinite(dec["log_marginal_final"])
 
 
+def test_batched_gate_family_and_init_kwargs(data):
+    """Keys invalid for the model family and unknown posterior_init_kwargs
+    must NOT take the batched path: the serial path surfaces the ctor /
+    init TypeError immediately instead of silently ignoring the value."""
+    # noise_std is sweepable for gaussian classes only — on poisson the
+    # gate must refuse so auto falls through to serial's immediate error
+    assert not selection._batched_backend_applicable(
+        {"noise_std": [0.3, 0.5]}, FAST_FIT, "poisson", 2, 2
+    )
+    with pytest.raises(TypeError, match="noise_std"):
+        selection.model_selection_one_split(
+            data, {"noise_std": [0.3, 0.5]}, fit_kwargs=FAST_FIT,
+            n_repeat=2, verbose=False,
+        )
+    # p_move_to_jump has no meaning for latent-only classes
+    assert not selection._batched_backend_applicable(
+        {"p_move_to_jump": [0.01, 0.02]}, FAST_FIT, "poisson_latentonly",
+        2, 2,
+    )
+    # unknown posterior_init kwarg -> serial (raises), known one -> batched
+    bad_fit = dict(FAST_FIT, posterior_init_kwargs={"randm_scale": 0.5})
+    assert not selection._batched_backend_applicable(
+        {"movement_variance": [0.5, 1.0]}, bad_fit, "poisson", 2, 2
+    )
+    assert selection._batched_backend_applicable(
+        {"movement_variance": [0.5, 1.0]}, FAST_FIT, "poisson", 2, 2
+    )
+
+
 def test_one_split_backend_fallbacks(data):
     # unsupported swept key -> auto falls back to serial silently
     res = selection.model_selection_one_split(
