@@ -561,7 +561,13 @@ class _GPLVMCommon(ABC):
         output_mode="full", memory_mode=None, nan_guard=None, mesh=None,
         **kwargs,
     ):
-        """output_mode='lean' (for T x L scales beyond single-chip HBM):
+        """``dt`` is accepted but UNUSED, exactly like the reference
+        (core.py:261,594 accept dt=1. and never thread it into the E-step
+        likelihood or M-step statistics): the fitted tuning absorbs the
+        bin width (rate per bin, not per unit time).  Use
+        decode_latent_naive_bayes(dt_l=...) for explicit per-bin dt.
+
+        output_mode='lean' (for T x L scales beyond single-chip HBM):
         the E-step emits only the latent/dynamics marginal posteriors
         (memory_mode='checkpoint' + marginal smoothing, or pass
         memory_mode='filter_bf16' for the faster 2-pass bf16 filter store).

@@ -189,6 +189,10 @@ class AbstractGPLVMJump1D(_GPLVMCommon):
             self.possible_latent_bin, self.possible_dynamics, movement_variance,
             p_move_to_jump, p_jump_to_move,
         )
+        # deliberate key REUSE across the two init draws and the step
+        # split: reproduces the reference's exact random stream
+        # (core.py:531-535); the correlated init draws are a documented
+        # reference quirk, kept for seed-for-seed sample parity
         if init_dynamics is None:
             init_dynamics = jax.random.choice(key, self.possible_dynamics)
         if init_latent is None:

@@ -153,6 +153,8 @@ class AbstractGPLVM1D(_GPLVMCommon):
             self.possible_latent_bin, movement_variance,
             custom_kernel=self.custom_transition_kernel,
         )
+        # deliberate key reuse between the init draw and the step split:
+        # reproduces the reference's exact random stream (core.py:213-216)
         if init_latent is None:
             init_latent = jax.random.choice(key, self.possible_latent_bin)
         key_l = jax.random.split(key, T)

@@ -194,14 +194,19 @@ def get_naive_bayes_ma_chunk(
     dt_arr = jnp.asarray(dt_l, dtype=jnp.float32)
     if dt_arr.ndim > 0:
         dt_arr = jnp.broadcast_to(dt_arr, (n_time_tot,))
-    ma_neuron = jnp.broadcast_to(jnp.asarray(ma_neuron, dtype=jnp.float32), y.shape)
+    # keep a (N,) mask un-broadcast: the likelihoods broadcast it per chunk
+    # internally, and materializing a (T, N) copy up front would add an
+    # O(T*N) device buffer — the very thing this chunked driver bounds
+    ma_neuron = jnp.asarray(ma_neuron, dtype=jnp.float32)
+    ma_is_2d = ma_neuron.ndim == 2
 
     log_post_l, log_marginal_l_l, ll_l = [], [], []
     log_marginal_total = 0.0
     for n in range(n_chunks):
         sl = slice(n * n_time_per_chunk, (n + 1) * n_time_per_chunk)
         log_post, lml_l, lml, ll = get_naive_bayes_ma(
-            y[sl], tuning, hyperparam, ma_neuron[sl], ma_latent,
+            y[sl], tuning, hyperparam,
+            ma_neuron[sl] if ma_is_2d else ma_neuron, ma_latent,
             dt_arr if dt_arr.ndim == 0 else dt_arr[sl],
             observation_model=observation_model,
         )

@@ -610,6 +610,12 @@ def filter_combined(
     Mirrors reference ``filter_all_step_combined_ma`` (decoder.py:189-198);
     returns log-space (log_posterior_all, log_marginal_final, log_prior_all,
     log_one_step_predictive_marginals, log_likelihood_all)."""
+    if engine == "pallas_parallel":
+        # the fixed-point engine is a smoother-level strategy; the causal
+        # filter has no parallel variant — run its sequential kernel
+        engine = "pallas"
+    if engine not in ("prob", "pallas", "log"):
+        raise ValueError(f"unknown engine {engine!r}")
     if carry_init is None:
         log_init = trans.uniform_log_init()
         carry_init = (log_init, jnp.array(0.0, dtype=jnp.float32))

@@ -162,6 +162,12 @@ def make_adam_runner(fun, step_size, maxiter=1000, tol=1e-6):
 
         def body_fun(c):
             i, params, opt_state, _, loss, _, loss_hist, err_hist = c
+            # NOTE: the first body iteration re-evaluates value_and_grad at
+            # the unchanged init params, duplicating the pre-loop eval.
+            # This mirrors the reference loop exactly
+            # (fit_tuning_helper.py:168) — removing it would shift which
+            # params the stopping rule and histories are evaluated at,
+            # breaking loss_history/n_iter parity for a ~1/n_iter saving.
             new_loss, grads = jax.value_and_grad(fun)(params, *args)
             updates, new_opt_state = opt.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)

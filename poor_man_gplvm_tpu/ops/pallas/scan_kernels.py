@@ -111,7 +111,10 @@ def _filter_kernel(w_ref, tlat_ref, tdyn_ref, init_ref,
         prior = jnp.concatenate(prior_rows, axis=0)  # (n_dyn, Lp)
 
         u = prior * w  # broadcast (1, Lp) over dyn rows
-        s = jnp.sum(u)
+        # guard like the prob engine / parallel kernels: all prior mass on
+        # zero-weight bins (custom kernels with exact zeros + ma_latent)
+        # must degrade gracefully, not NaN-poison the VMEM carry
+        s = jnp.maximum(jnp.sum(u), 1e-38)
         p_new = u / s
 
         carry_ref[:] = p_new

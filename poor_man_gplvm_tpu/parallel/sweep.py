@@ -92,73 +92,20 @@ def _single_run_em(
     y, basis, hp_scalars, key, n_iter, n_latent_bin, m_step_size, m_maxiter,
     m_tol, likelihood_scale,
 ):
-    """Full EM for one (config, chain): transition build, random posterior
-    init, n_iter x (Adam M-step -> forward/backward smooth)."""
-    _, log_lat_l, _, log_dyn = gpk.create_transition_prob_1d(
-        jnp.arange(n_latent_bin), jnp.arange(2),
-        hp_scalars["movement_variance"], hp_scalars["p_move_to_jump"],
-        hp_scalars["p_jump_to_move"],
-    )
-    trans = JointTransition(
-        jnp.exp(log_dyn), jnp.exp(log_lat_l), log_dyn, log_lat_l
-    )
-    T = y.shape[0]
-
-    # random posterior init (jump-family convention, reference core.py:571-583)
+    """Full EM for one (config, chain) of the Poisson-jump grid: draws the
+    random params/posterior init from this path's historical key-split
+    order, then delegates the EM loop to the single shared runner
+    (:func:`_single_run_em_modelclass`) so there is exactly one definition
+    of the sweep EM-iteration numerics."""
     key, k_init, k_params = jr.split(key, 3)
-    posterior = jr.uniform(k_init, (T, n_latent_bin)) * 0.1
-    posterior = posterior / posterior.sum(axis=1, keepdims=True)
-    log_post = jnp.log(posterior)
-
-    n_basis = basis.shape[1]
-    params = jr.normal(k_params, (n_basis, y.shape[1]))
-
-    hyperparam = {"param_prior_std": hp_scalars["param_prior_std"]}
-    # the ONE while-loop Adam definition (reference stopping rule lives in
-    # ops/mstep.make_adam_runner; the model-class sweep variant below uses
-    # the same runner)
-    adam_run, opt_init = fth.make_adam_runner(
-        fth.poisson_m_step_objective, m_step_size, maxiter=m_maxiter,
-        tol=m_tol,
+    params0 = jr.normal(k_params, (basis.shape[1], y.shape[1]))
+    return _single_run_em_modelclass(
+        y, basis, params0, hp_scalars, k_init, model_class_str="poisson",
+        n_iter=n_iter, n_latent_bin=n_latent_bin, m_step_size=m_step_size,
+        m_maxiter=m_maxiter, m_tol=m_tol,
+        likelihood_scale=likelihood_scale, random_scale=0.1,
+        want_posterior=True,
     )
-    opt_state = opt_init(params)
-
-    def em_iter(carry, _):
-        params, opt_state, log_post = carry
-        y_w, t_w = fth.get_statistics(log_post, y)
-        res = adam_run(params, opt_state, hyperparam, basis, y_w, t_w)
-        params, opt_state = res["params"], res["opt_state"]
-        final_loss = res["final_loss"]
-        tuning = fth.get_tuning_softplus(params, basis)
-
-        ll = get_loglikelihood_ma_all(
-            y, tuning, {}, jnp.ones_like(y), jnp.ones(n_latent_bin),
-            observation_model="poisson",
-        )
-        carry0 = (
-            jnp.exp(trans.uniform_log_init()), jnp.array(0.0, dtype=jnp.float32)
-        )
-        post_f, prior_f, ratios, (p_last, lml) = _forward_scan_prob(
-            ll, trans, carry0, likelihood_scale
-        )
-        smooth, _acc = _backward_scan_prob(
-            post_f[:-1], prior_f[1:], trans, post_f[-1]
-        )
-        smooth_full = jnp.concatenate([smooth, post_f[-1][None]], axis=0)
-        log_post_new = prob_to_log(smooth_full.sum(axis=1))
-        return (params, opt_state, log_post_new), (lml, final_loss)
-
-    (params, _, log_post), (lml_l, loss_l) = lax.scan(
-        em_iter, (params, opt_state, log_post), None, length=n_iter
-    )
-    tuning = fth.get_tuning_softplus(params, basis)
-    return {
-        "params": params,
-        "tuning": tuning,
-        "log_posterior_latent": log_post,
-        "log_marginal_l": lml_l,
-        "m_step_final_loss_l": loss_l,
-    }
 
 
 @lru_cache(maxsize=32)
@@ -378,6 +325,7 @@ def _mstep_hyper(model_class_str, hp):
 def _single_run_em_modelclass(
     y, basis, params0, hp, key_em, *, model_class_str, n_iter, n_latent_bin,
     m_step_size, m_maxiter, m_tol, likelihood_scale, random_scale,
+    want_posterior=False,
 ):
     """One (config, chain) EM run, numerically matching
     ``model_class(**config).fit_em(y, key=key_em, ...)`` with the prob
@@ -449,10 +397,13 @@ def _single_run_em_modelclass(
         fth.get_tuning_softplus(params, basis) if is_poisson
         else fth.get_tuning_linear(params, basis)
     )
-    return {
+    out = {
         "params": params, "tuning": tuning, "log_marginal_l": lml_l,
         "m_step_final_loss_l": loss_l,
     }
+    if want_posterior:
+        out["log_posterior_latent"] = log_post
+    return out
 
 
 @lru_cache(maxsize=64)
