@@ -107,14 +107,19 @@ def choose_parallel_config(T, L, n_dyn):
         full = 2 * blocks + 2 * blocks + 2 * blocks + blocks + fixed
         return max(marg, full)
 
-    C = 128 if Lp <= 256 else 64
+    # Measured on one v5e at T=1e6, L=500 (strict 2+2 passes, min of 3):
+    # (64,8,8) auto-r2 434 ms; (64,8,4) 438; (128,8,8) 420; (128,8,4) 410-415;
+    # (128,8,2) 408-411 (best); (128,8,1) 415; (192,8,2) 415; (256,8,4) 421;
+    # (128,16,4) 419.  C=128 fills the 128-row MXU per step; the small
+    # backward block keeps the (bt, nd, C, Lp) double buffers light.
+    C = 128
     bt_f = 16 if Lp <= 256 else 8
-    bt_b = bt_f
+    bt_b = bt_f if Lp <= 256 else 2
     # the kernels request a raised scoped-VMEM limit (v5e has 128 MB
     # physical VMEM; the 16 MB default is only the scoped cap), so the
     # budget here mainly bounds double-buffer bloat
     budget = 40 << 20
-    while bwd_vmem(C, bt_b) > budget and bt_b > 4:
+    while bwd_vmem(C, bt_b) > budget and bt_b > 2:
         bt_b //= 2
     while bwd_vmem(C, bt_b) > budget and C > 8:
         C //= 2

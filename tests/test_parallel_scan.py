@@ -154,7 +154,7 @@ def test_choose_parallel_config_shapes():
     cfg = ps.choose_parallel_config(1_000_000, 500, 2)
     assert cfg is not None
     C, bt_f, bt_b = cfg
-    assert C >= 32 and bt_f >= 4 and bt_b >= 4
+    assert C >= 32 and bt_f >= 4 and bt_b >= 2
     cfg_small = ps.choose_parallel_config(2048, 100, 2)
     assert cfg_small is not None
 
