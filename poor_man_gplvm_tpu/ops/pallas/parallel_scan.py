@@ -107,14 +107,18 @@ def choose_parallel_config(T, L, n_dyn):
         full = 2 * blocks + 2 * blocks + 2 * blocks + blocks + fixed
         return max(marg, full)
 
-    # Measured on one v5e at T=1e6, L=500 (strict 2+2 passes, min of 3):
-    # (64,8,8) auto-r2 434 ms; (64,8,4) 438; (128,8,8) 420; (128,8,4) 410-415;
-    # (128,8,2) 408-411 (best); (128,8,1) 415; (192,8,2) 415; (256,8,4) 421;
-    # (128,16,4) 419.  C=128 fills the 128-row MXU per step; the small
-    # backward block keeps the (bt, nd, C, Lp) double buffers light.
-    C = 128
+    # Measured on one v5e at T=1e6, L=500 (strict 2+2 passes, min of 3),
+    # STRICT SMOOTHER IN ISOLATION: (64,8,8) 434 ms; (128,8,2) 408-411
+    # (best); (128,8,4) 410-415.  BUT C=128 at Lp>256 RESOURCE_EXHAUSTS
+    # the full fused-EM north-star program (T=1e6, L=500, N=500,
+    # n_time_per_chunk=1e5, both filter_bf16 and checkpoint modes) — the
+    # fused program holds the emission/M-step buffers live alongside the
+    # scan kernels, and the extra scoped-VMEM/double-buffer footprint at
+    # C=128 pushes it over.  Keep the isolated-smoother win for small L
+    # only; C=64 for large L is the proven-in-production config.
+    C = 128 if Lp <= 256 else 64
     bt_f = 16 if Lp <= 256 else 8
-    bt_b = bt_f if Lp <= 256 else 2
+    bt_b = bt_f
     # the kernels request a raised scoped-VMEM limit (v5e has 128 MB
     # physical VMEM; the 16 MB default is only the scoped cap), so the
     # budget here mainly bounds double-buffer bloat
