@@ -87,7 +87,13 @@ def main():
     import poor_man_gplvm_tpu as pmg
 
     T, L, N = 100_000, 100, 100
-    n_timed_iters = 10
+    # 30 iters ~ a production EM run; it also amortizes the fixed per-fit
+    # dispatch/sync cost, which through the remote tunnel varies by
+    # ~100-200 ms per fit_em call between measurement windows (measured
+    # 2026-08-18: the identical warm program read 0.019 s/iter in the
+    # afternoon and 0.030-0.038 s/iter in the evening at 10 timed iters;
+    # north-star/decode/sweep were stable, isolating the fixed overhead)
+    n_timed_iters = 30
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
