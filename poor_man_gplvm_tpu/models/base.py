@@ -27,6 +27,10 @@ from poor_man_gplvm_tpu.ops import emissions, hmm
 from poor_man_gplvm_tpu.ops.basis import generate_basis
 from poor_man_gplvm_tpu.utils import compat
 
+# jitted so the transient (T, N) gammaln buffer lives only inside this one
+# small program (see _fused_mid_iters)
+_lgamma_term_jit = jax.jit(emissions.poisson_lgamma_term)
+
 
 def build_decode_prog(observation_model, engine, has_dyn, n_time_per_chunk,
                       memory_mode=None):
@@ -457,7 +461,7 @@ class _GPLVMCommon(ABC):
                 ws_spec = None
 
         def prog(carry, y_in, basis_in, trans_in, ma_n, ma_l, hyper_in,
-                 scale_in):
+                 scale_in, lgamma_in):
             # all arrays enter as operands so nothing large is baked into
             # the program as a constant (a closed-over device array becomes
             # an embedded constant — 400 MB at T=100k, GBs at north-star)
@@ -477,6 +481,7 @@ class _GPLVMCommon(ABC):
                     n_time_per_chunk=n_time_per_chunk,
                     observation_model=obs, engine=engine,
                     memory_mode=mm, marginal_smooth=True,
+                    lgamma_term=lgamma_in,
                 )
                 diag = {
                     k: v for k, v in m_res.items()
@@ -539,12 +544,23 @@ class _GPLVMCommon(ABC):
             )
         else:
             ws0 = ()
+        # loop-invariant emission precompute: the gammaln(y+1) contraction
+        # depends only on the data, so compute it ONCE per fused segment in
+        # its own small program and feed it in as an operand (measured
+        # ~31 ms/EM-iteration at the north-star; XLA does not hoist it out
+        # of the iteration scan on its own, and computing it at the top of
+        # the fused program itself raised that program's peak HBM enough to
+        # tip the north-star over — its own program bounds the transient
+        # (T, N) gammaln buffer's liveness instead)
+        lg = (
+            _lgamma_term_jit(y_, ma_neuron) if obs == "poisson" else None
+        )
         (params, opt_state, log_post, ws), (lml_mid, diag_mid) = fused_prog(
             (params, opt_state, log_post_marg, ws0), y_, tuning_basis, trans,
             ma_neuron, ma_latent,
             {k: jnp.asarray(v, dtype=jnp.float32) for k, v in
              hyper_num.items()},
-            jnp.float32(likelihood_scale),
+            jnp.float32(likelihood_scale), lg,
         )
         return params, opt_state, log_post, lml_mid, diag_mid, \
             (ws if ws_spec is not None else None)

@@ -41,6 +41,7 @@ __all__ = [
     "RATE_FLOOR",
     "MASK_NEG",
     "poisson_loglik",
+    "poisson_lgamma_term",
     "gaussian_loglik",
     "get_loglikelihood_ma_all",
     "get_loglikelihood_ma_all_changing_dt",
@@ -54,28 +55,66 @@ def _broadcast_neuron_mask(ma_neuron, y):
     return jnp.broadcast_to(ma_neuron, y.shape)
 
 
-def poisson_loglik(y, tuning, ma_neuron, ma_latent, dt=1.0):
-    """(T, L) Poisson log-likelihood via two MXU matmuls.
+def poisson_lgamma_term(y, ma_neuron):
+    """(T,) mask-weighted ``sum_n gammaln(y+1)`` — the parameter-free part
+    of the Poisson LL.  Data-only, so it is loop-invariant across EM
+    iterations: the fused EM fast path computes it ONCE per fit and feeds
+    it back through ``lgamma_term=`` (measured ~31 ms/EM-iteration saved at
+    T=1e6, N=500 — gammaln over (T, N) is the single most expensive
+    elementwise op in the iteration)."""
+    y = jnp.asarray(y)
+    ma_neuron = jnp.asarray(ma_neuron, dtype=y.dtype)
+    # elementwise-multiply + reduce, NOT a matvec: a matmul operand forces
+    # XLA to materialize the (T, N) gammaln output as a real HBM buffer
+    # (2 GB at the north-star — measured to tip the fused EM program into
+    # RESOURCE_EXHAUSTED), while this form fuses the transcendental into
+    # the row reduction with no temporary
+    if ma_neuron.ndim == 1:
+        ma_neuron = ma_neuron[None, :]
+    return (gammaln(y + 1.0) * ma_neuron).sum(axis=-1)
+
+
+def poisson_loglik(y, tuning, ma_neuron, ma_latent, dt=1.0, lgamma_term=None):
+    """(T, L) Poisson log-likelihood via MXU matmuls.
 
     y: (T, N) counts; tuning: (L, N) rates; ma_neuron: (N,) or (T, N);
-    ma_latent: (L,); dt: scalar or (T,).
+    ma_latent: (L,); dt: scalar or (T,); lgamma_term: optional precomputed
+    ``poisson_lgamma_term(y, ma_neuron)`` (loop-invariant across EM
+    iterations).
     Matches reference decoder.py:31-48 elementwise semantics exactly.
     """
     y = jnp.asarray(y)
-    ma = _broadcast_neuron_mask(ma_neuron, y)
-    ym = y * ma
-    lgamma_term = (ma * gammaln(y + 1.0)).sum(axis=-1)  # (T,)
+    ma_1d = jnp.asarray(ma_neuron, dtype=y.dtype)
+    if lgamma_term is None:
+        lgamma_term = poisson_lgamma_term(y, ma_1d)
 
     dt_arr = jnp.asarray(dt)
     if dt_arr.ndim == 0:
         lam = tuning * dt_arr + RATE_FLOOR  # (L, N)
         log_lam = jnp.log(lam)
-        ll = (
-            jnp.matmul(ym, log_lam.T, precision=PRECISION)
-            - jnp.matmul(ma, lam.T, precision=PRECISION)
-            - lgamma_term[:, None]
-        )
+        if ma_1d.ndim == 1:
+            # static neuron mask: fold it into the (L, N) side — ONE
+            # (T, N)@(N, L) matmul instead of two and no (T, N)
+            # temporaries (the "- sum_n ma*lam" term is an (L,) vector).
+            # Same contraction, same result to f32 rounding (~2e-7 rel);
+            # measured 90 -> 75 ms at T=1e6, L=N=500 (44 ms with the
+            # lgamma term hoisted).
+            ll = (
+                jnp.matmul(y, (log_lam * ma_1d[None, :]).T,
+                           precision=PRECISION)
+                - (lam * ma_1d[None, :]).sum(axis=-1)[None, :]
+                - lgamma_term[:, None]
+            )
+        else:
+            ma = _broadcast_neuron_mask(ma_1d, y)
+            ll = (
+                jnp.matmul(y * ma, log_lam.T, precision=PRECISION)
+                - jnp.matmul(ma, lam.T, precision=PRECISION)
+                - lgamma_term[:, None]
+            )
     else:
+        ma = _broadcast_neuron_mask(ma_1d, y)
+        ym = y * ma
         # per-time dt: the 1e-20 floor does not factor out of log(tuning*dt),
         # so fall back to a time-batched elementwise contraction (only the
         # naive-Bayes path uses changing dt; cf. decoder.py:73-85).
@@ -121,11 +160,17 @@ def gaussian_loglik(y, tuning, noise_std, ma_neuron, ma_latent, dt=1.0):
 
 @partial(jax.jit, static_argnames=["observation_model"])
 def get_loglikelihood_ma_all(
-    y_l, tuning, hyperparam, ma_neuron, ma_latent, observation_model="poisson"
+    y_l, tuning, hyperparam, ma_neuron, ma_latent, observation_model="poisson",
+    lgamma_term=None,
 ):
-    """(T, L) log-likelihood, dt=1 (reference decoder.py:60-71)."""
+    """(T, L) log-likelihood, dt=1 (reference decoder.py:60-71).
+
+    ``lgamma_term``: optional precomputed ``poisson_lgamma_term`` (Poisson
+    only) so callers that evaluate the LL many times on the same data (the
+    fused EM iteration scan) skip the per-call gammaln over (T, N)."""
     if observation_model == "poisson":
-        return poisson_loglik(y_l, tuning, ma_neuron, ma_latent)
+        return poisson_loglik(y_l, tuning, ma_neuron, ma_latent,
+                              lgamma_term=lgamma_term)
     return gaussian_loglik(y_l, tuning, hyperparam["noise_std"], ma_neuron, ma_latent)
 
 

@@ -677,6 +677,7 @@ def smooth_combined_chunked(
     scan_carry_in=None,
     want_scan_carry=False,
     scan_fast=False,
+    lgamma_term=None,
 ):
     """Chunked forward-backward smoother — the E-step workhorse.
 
@@ -695,6 +696,10 @@ def smooth_combined_chunked(
     one chunk when the full working set fits on-device, else an HBM-driven
     size — results are identical either way (chunking is exact), only peak
     memory and host round-trips differ.
+
+    ``lgamma_term``: optional precomputed ``emissions.poisson_lgamma_term``
+    — consumed by the parallel-in-time engine (the path the fused EM scan
+    takes); the sequential chunked paths recompute it per chunk.
 
     ``memory_mode``: 'full' stores the filter posteriors/priors/likelihoods
     for the whole sequence (reference behaviour); 'checkpoint' stores only
@@ -753,7 +758,7 @@ def smooth_combined_chunked(
             likelihood_scale, observation_model, dt_l, memory_mode,
             marginal_smooth, n_time_per_chunk,
             scan_carry_in=scan_carry_in, want_scan_carry=want_scan_carry,
-            scan_fast=scan_fast,
+            scan_fast=scan_fast, lgamma_term=lgamma_term,
         )
     if want_scan_carry:
         raise ValueError(
@@ -992,6 +997,7 @@ def _smooth_parallel_driver(
     y, tuning, hyperparam, trans, ma_neuron, ma_latent, likelihood_scale,
     observation_model, dt_l, memory_mode, marginal_smooth, n_time_per_chunk,
     scan_carry_in=None, want_scan_carry=False, scan_fast=False,
+    lgamma_term=None,
 ):
     """engine='pallas_parallel': fixed-point parallel-in-time scans
     (ops/pallas/parallel_scan.py).  C chunks of the sequence advance
@@ -1020,18 +1026,18 @@ def _smooth_parallel_driver(
             memory_mode=memory_mode, marginal_smooth=marginal_smooth,
         )
 
-    ma_b = (
-        ma_neuron if ma_neuron.ndim == 2
-        else jnp.broadcast_to(ma_neuron, y.shape)
-    )
+    # pass the neuron mask through UN-broadcast: a 1-D mask lets
+    # poisson_loglik fold it into the (L, N) side (one matmul instead of
+    # two), and lgamma_term (when the fused EM path precomputed it) skips
+    # the per-iteration gammaln over (T, N)
     if dt_l is None:
         ll = get_loglikelihood_ma_all(
-            y, tuning, hyperparam, ma_b, ma_latent,
-            observation_model=observation_model,
+            y, tuning, hyperparam, ma_neuron, ma_latent,
+            observation_model=observation_model, lgamma_term=lgamma_term,
         )
     else:
         ll = get_loglikelihood_ma_all_changing_dt(
-            y, tuning, hyperparam, ma_b, ma_latent, dt_l,
+            y, tuning, hyperparam, ma_neuron, ma_latent, dt_l,
             observation_model=observation_model,
         )
 
