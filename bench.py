@@ -250,7 +250,19 @@ def main():
     except Exception as e:
         log(f"one_split bench skipped: {type(e).__name__}: {e}")
 
-    # north-star-scale diagnostic (T=1e6 x L=500 x N=500, lean outputs)
+    # north-star-scale diagnostic (T=1e6 x L=500 x N=500, lean outputs).
+    # The run sits near HBM capacity: release every earlier section's
+    # device buffers and cached programs first (leftover arrays + the
+    # sweep/selection program set measurably tip the north-star program's
+    # peak over on a 16 GB chip)
+    headline_passes = _scan_passes_total(model)
+    try:
+        del y, y10k, dec, model
+    except NameError:
+        pass
+    import gc
+
+    gc.collect()
     northstar = None
     northstar_passes = 6.0
     try:
@@ -311,7 +323,8 @@ def main():
     # iteration over the measured wall time, vs the chip's dense bf16 peak
     kind = jax.devices()[0].device_kind
     peak = _PEAK_TFLOPS.get(kind)
-    headline_passes = _scan_passes_total(model)
+    # headline_passes was captured before the north-star section freed the
+    # headline model
     headline_tflops = (
         _em_iter_flops(T, L, N, 2, headline_passes) / sec_per_iter / 1e12
     )

@@ -460,12 +460,20 @@ class _GPLVMCommon(ABC):
             if work < 5e10:
                 ws_spec = None
 
-        def prog(carry, y_in, basis_in, trans_in, ma_n, ma_l, hyper_in,
-                 scale_in, lgamma_in):
+        def prog(params_opt, log_post_in, ws_in, y_in, basis_in, trans_in,
+                 ma_n, ma_l, hyper_in, scale_in, lgamma_in):
             # all arrays enter as operands so nothing large is baked into
             # the program as a constant (a closed-over device array becomes
-            # an embedded constant — 400 MB at T=100k, GBs at north-star)
+            # an embedded constant — 400 MB at T=100k, GBs at north-star).
+            # log_post_in/ws_in arrive as separate DONATED arguments: the
+            # (T, L) posterior carry is ~2 GB at the north-star and the
+            # output carry can alias it (fit_em rebinds the variable and
+            # keeps no other reference — lean mode skips snapshots, full
+            # mode snapshots the pre-logsumexp joint posterior, a different
+            # buffer).  params/opt_state are NOT donated: iteration
+            # start_iter appends them to params_saved.
             hp = {**hyper_static, **hyper_in}
+            carry = (params_opt[0], params_opt[1], log_post_in, ws_in)
 
             def body(c, _):
                 params_c, opt_c, log_post, ws = c
@@ -527,7 +535,9 @@ class _GPLVMCommon(ABC):
             cache = self._fused_prog_cache = {}
         fused_prog = cache.get(cache_key)
         if fused_prog is None:
-            fused_prog = cache[cache_key] = jax.jit(prog)
+            fused_prog = cache[cache_key] = jax.jit(
+                prog, donate_argnums=(1, 2)
+            )
         # ``scan_ws``/the returned carry exist so a caller that runs several
         # fused segments over the SAME data within one fit (e.g. a future
         # checkpoint-every-k-iterations loop) can thread the converged
@@ -556,7 +566,7 @@ class _GPLVMCommon(ABC):
             _lgamma_term_jit(y_, ma_neuron) if obs == "poisson" else None
         )
         (params, opt_state, log_post, ws), (lml_mid, diag_mid) = fused_prog(
-            (params, opt_state, log_post_marg, ws0), y_, tuning_basis, trans,
+            (params, opt_state), log_post_marg, ws0, y_, tuning_basis, trans,
             ma_neuron, ma_latent,
             {k: jnp.asarray(v, dtype=jnp.float32) for k, v in
              hyper_num.items()},
