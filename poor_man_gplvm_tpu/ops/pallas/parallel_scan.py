@@ -107,18 +107,17 @@ def choose_parallel_config(T, L, n_dyn):
         full = 2 * blocks + 2 * blocks + 2 * blocks + blocks + fixed
         return max(marg, full)
 
-    # Measured on one v5e at T=1e6, L=500 (strict 2+2 passes, min of 3),
-    # STRICT SMOOTHER IN ISOLATION: (64,8,8) 434 ms; (128,8,2) 408-411
-    # (best); (128,8,4) 410-415.  BUT C=128 at Lp>256 RESOURCE_EXHAUSTS
-    # the full fused-EM north-star program (T=1e6, L=500, N=500,
-    # n_time_per_chunk=1e5, both filter_bf16 and checkpoint modes) — the
-    # fused program holds the emission/M-step buffers live alongside the
-    # scan kernels, and the extra scoped-VMEM/double-buffer footprint at
-    # C=128 pushes it over.  Keep the isolated-smoother win for small L
-    # only; C=64 for large L is the proven-in-production config.
-    C = 128 if Lp <= 256 else 64
+    # Measured on one v5e at T=1e6, L=500: full fused-EM north-star
+    # (128,8,2) 0.379 s/iter vs (64,8,8) 0.394 — C=128 fills the MXU's
+    # 128 rows per step and the small backward block keeps the
+    # (bt, nd, C, Lp) double buffers light.  HISTORY: before the fused
+    # program donated its (T, L) posterior carry, C=128 at Lp>256
+    # RESOURCE_EXHAUSTED the north-star program (the carry alias buys the
+    # ~2 GB that the C=128 kernels' extra footprint costs) — if this
+    # config ever OOMs again, C=64/bt_b=8 is the known-lean fallback.
+    C = 128
     bt_f = 16 if Lp <= 256 else 8
-    bt_b = bt_f
+    bt_b = bt_f if Lp <= 256 else 2
     # the kernels request a raised scoped-VMEM limit (v5e has 128 MB
     # physical VMEM; the 16 MB default is only the scoped cap), so the
     # budget here mainly bounds double-buffer bloat
