@@ -143,3 +143,36 @@ def test_gaussian_vector_noise_std_matches_dense():
     ])
     ours2 = np.asarray(gaussian_loglik(y, tun, sig, ma, np.ones(L), dt=dts))
     np.testing.assert_allclose(ours2, dense2, atol=1e-4, rtol=1e-5)
+
+
+def test_poisson_1d_fold_matches_2d_path(setup):
+    """The folded 1-D-mask form equals the broadcast 2-D-mask form — same
+    contraction, different operand placement (emissions.py poisson_loglik)."""
+    y, tuning, ma_neuron, ma_latent = setup
+    ma2d = np.broadcast_to(ma_neuron, y.shape).copy()
+    got_1d = np.asarray(emissions.poisson_loglik(y, tuning, ma_neuron, ma_latent))
+    got_2d = np.asarray(emissions.poisson_loglik(y, tuning, ma2d, ma_latent))
+    np.testing.assert_allclose(got_1d, got_2d, rtol=2e-6, atol=1e-5)
+
+
+def test_poisson_precomputed_lgamma_term(setup):
+    """poisson_loglik(lgamma_term=precomputed) is identical to the default —
+    the fused EM path feeds the loop-invariant term once per segment."""
+    y, tuning, ma_neuron, ma_latent = setup
+    lg = emissions.poisson_lgamma_term(y, ma_neuron)
+    # matches the direct per-row reduction
+    import scipy.special as sps
+    want_lg = (np.broadcast_to(ma_neuron, y.shape)
+               * sps.gammaln(y + 1.0)).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(lg), want_lg, rtol=1e-6, atol=1e-5)
+    base = np.asarray(emissions.poisson_loglik(y, tuning, ma_neuron, ma_latent))
+    fed = np.asarray(
+        emissions.poisson_loglik(y, tuning, ma_neuron, ma_latent, lgamma_term=lg)
+    )
+    np.testing.assert_allclose(fed, base, rtol=1e-6, atol=1e-6)
+    # and through the jitted public entry point
+    fed2 = np.asarray(emissions.get_loglikelihood_ma_all(
+        y, tuning, {}, ma_neuron, ma_latent, observation_model="poisson",
+        lgamma_term=lg,
+    ))
+    np.testing.assert_allclose(fed2, base, rtol=1e-6, atol=1e-6)
