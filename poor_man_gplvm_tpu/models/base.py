@@ -31,6 +31,40 @@ from poor_man_gplvm_tpu.utils import compat
 # small program (see _fused_mid_iters)
 _lgamma_term_jit = jax.jit(emissions.poisson_lgamma_term)
 
+_OOM_GUIDANCE = """
+[poor_man_gplvm_tpu] The device ran out of HBM for this program. Knobs, in
+order of preference (all mathematically exact):
+  1. memory_mode='checkpoint'  — O(chunk) smoother state, ~1.4x slower than
+     the default filter store at large T.
+  2. Smaller n_time_per_chunk (e.g. 50_000) — bounds per-chunk buffers.
+  3. output_mode='lean' (fit_em) — keeps one (T, L) posterior instead of
+     the full results dict.
+  4. poor_man_gplvm_tpu.ops.pallas.parallel_scan.set_config_override(
+         (64, 8, 8))  — the lean scan-kernel launch config (~2 GB less
+     peak, ~4% slower); call before the first fit/decode at this shape.
+  5. fused=False (fit_em) — per-iteration dispatch, smaller programs.
+Also free unrelated device arrays: buffers from earlier results count
+against the same 16 GB."""
+
+
+def _with_oom_guidance(fn):
+    """Append actionable knob guidance to device RESOURCE_EXHAUSTED errors
+    (the north-star scale sits near HBM capacity by design)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*a, **k):
+        try:
+            return fn(*a, **k)
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            raise jax.errors.JaxRuntimeError(
+                str(e) + _OOM_GUIDANCE
+            ) from e
+
+    return wrapper
+
 
 def build_decode_prog(observation_model, engine, has_dyn, n_time_per_chunk,
                       memory_mode=None):
@@ -301,6 +335,7 @@ class _GPLVMCommon(ABC):
             ))
         return prog
 
+    @_with_oom_guidance
     def _decode_dispatch(
         self, y, tuning, hyperparam, trans, ma_neuron, ma_latent,
         likelihood_scale, n_time_per_chunk, t_l, mesh, tsd_wrap_keys,
@@ -578,6 +613,7 @@ class _GPLVMCommon(ABC):
     # ------------------------------------------------------------------
     # EM template (reference core.py:259-373 / 592-713)
     # ------------------------------------------------------------------
+    @_with_oom_guidance
     def fit_em(
         self, y, hyperparam=None, key=None, n_iter=20, log_posterior_init=None,
         opt_state_curr=None, ma_neuron=None, ma_latent=None,

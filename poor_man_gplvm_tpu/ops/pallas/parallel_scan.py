@@ -82,6 +82,25 @@ HIGHEST = jax.lax.Precision.HIGHEST
 # ---------------------------------------------------------------------------
 
 
+#: manual override for the parallel-scan launch config — the supported
+#: escape hatch at the HBM edge (see set_config_override)
+_CONFIG_OVERRIDE = None
+
+
+def set_config_override(cfg):
+    """Force the fixed-point scan launch config to ``cfg = (C, block_t_fwd,
+    block_t_bwd)``, or restore auto-choice with ``None``.
+
+    The known-lean fallback at large L is ``(64, 8, 8)`` — use it if a
+    near-HBM-capacity fit RESOURCE_EXHAUSTs (the auto config trades ~2 GB
+    of headroom for ~4% speed).  Call BEFORE the first fit/decode at a
+    given shape: compiled programs cache the config they were traced with
+    (clear ``model._fused_prog_cache`` or ``jax.clear_caches()`` to force
+    a re-trace)."""
+    global _CONFIG_OVERRIDE
+    _CONFIG_OVERRIDE = cfg
+
+
 def choose_parallel_config(T, L, n_dyn):
     """Pick (C, block_t_fwd, block_t_bwd) for the fixed-point scans.
 
@@ -94,6 +113,12 @@ def choose_parallel_config(T, L, n_dyn):
     engine)."""
     Lp = _round_up(L, LANE)
     nd = max(1, n_dyn)
+
+    if _CONFIG_OVERRIDE is not None:
+        C, bt_f, bt_b = _CONFIG_OVERRIDE
+        if C < 2 or T < 4 * bt_f:
+            return None
+        return C, bt_f, bt_b
 
     def bwd_vmem(C, bt):
         blocks = bt * nd * C * Lp * 4

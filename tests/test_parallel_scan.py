@@ -292,3 +292,18 @@ def test_fused_fit_em_warm_start_matches_loop():
     assert passes is not None and passes.shape == (4, 2)
     # middle iterations should settle fast (tuning drift is small)
     assert passes[1:].max() <= passes[0].max()
+
+
+def test_set_config_override():
+    """set_config_override forces the launch config (the documented HBM
+    escape hatch); None restores auto-choice."""
+    try:
+        ps.set_config_override((64, 8, 8))
+        assert ps.choose_parallel_config(1_000_000, 500, 2) == (64, 8, 8)
+        assert ps.choose_parallel_config(100_000, 100, 2) == (64, 8, 8)
+        # too-small problems still fall back to the sequential engine
+        assert ps.choose_parallel_config(16, 100, 2) is None
+    finally:
+        ps.set_config_override(None)
+    auto = ps.choose_parallel_config(1_000_000, 500, 2)
+    assert auto is not None and auto != (64, 8, 8)
