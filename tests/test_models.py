@@ -535,3 +535,34 @@ def test_bspline_basis_and_smoothness_penalty():
                                   tuning_lengthscale=3.0)
     m_hi.fit_em(y, key=jr.PRNGKey(1), n_iter=3, verboase=False)
     assert rough(m_hi.tuning) < rough(m_lo.tuning)
+
+
+def test_oom_error_carries_guidance(monkeypatch):
+    """Device RESOURCE_EXHAUSTED errors surface the memory-knob guidance
+    (models/base.py _with_oom_guidance); other errors pass through as-is."""
+    import jax as _jax
+    import poor_man_gplvm_tpu as pmg
+    from poor_man_gplvm_tpu.ops import hmm as _hmm
+
+    m = pmg.PoissonGPLVMJump1D(5, n_latent_bin=8, movement_variance=1,
+                               tuning_lengthscale=3.0)
+    _, y = m.sample(50)
+
+    def boom(*a, **k):
+        raise _jax.errors.JaxRuntimeError(
+            "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)."
+        )
+
+    monkeypatch.setattr(_hmm, "smooth_combined_chunked", boom)
+    with pytest.raises(_jax.errors.JaxRuntimeError) as ei:
+        m.decode_latent(y)
+    assert "set_config_override" in str(ei.value)
+    assert "memory_mode='checkpoint'" in str(ei.value)
+
+    def other(*a, **k):
+        raise _jax.errors.JaxRuntimeError("INTERNAL: something else")
+
+    monkeypatch.setattr(_hmm, "smooth_combined_chunked", other)
+    with pytest.raises(_jax.errors.JaxRuntimeError) as ei2:
+        m.decode_latent(y)
+    assert "set_config_override" not in str(ei2.value)
