@@ -256,10 +256,10 @@ def main():
     # sweep/selection program set measurably tip the north-star program's
     # peak over on a 16 GB chip)
     headline_passes = _scan_passes_total(model)
-    try:
-        del y, y10k, dec, model
-    except NameError:
-        pass
+    # drop every earlier section's device references (assignment, not
+    # `del locals()[...]` — mutating locals() is a no-op in CPython)
+    y = y10k = dec = model = None
+    y_s = res = one = y_sel = None
     import gc
 
     gc.collect()

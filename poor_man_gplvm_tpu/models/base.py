@@ -41,7 +41,10 @@ order of preference (all mathematically exact):
      the full results dict.
   4. poor_man_gplvm_tpu.ops.pallas.parallel_scan.set_config_override(
          (64, 8, 8))  — the lean scan-kernel launch config (~2 GB less
-     peak, ~4% slower); call before the first fit/decode at this shape.
+     peak, ~4% slower). Compiled programs keep the config they were
+     traced with, so after setting it ALSO clear the caches before
+     retrying: jax.clear_caches() and, if refitting the same model
+     object, model._fused_prog_cache.clear().
   5. fused=False (fit_em) — per-iteration dispatch, smaller programs.
 Also free unrelated device arrays: buffers from earlier results count
 against the same 16 GB."""
@@ -500,13 +503,11 @@ class _GPLVMCommon(ABC):
             # all arrays enter as operands so nothing large is baked into
             # the program as a constant (a closed-over device array becomes
             # an embedded constant — 400 MB at T=100k, GBs at north-star).
-            # log_post_in/ws_in arrive as separate DONATED arguments: the
-            # (T, L) posterior carry is ~2 GB at the north-star and the
-            # output carry can alias it (fit_em rebinds the variable and
-            # keeps no other reference — lean mode skips snapshots, full
-            # mode snapshots the pre-logsumexp joint posterior, a different
-            # buffer).  params/opt_state are NOT donated: iteration
-            # start_iter appends them to params_saved.
+            # log_post_in/ws_in arrive as separate arguments so the (T, L)
+            # posterior carry (~2 GB at the north-star) can be DONATED and
+            # the output carry aliased onto it — see donate_post below for
+            # when that is safe.  params/opt_state are NOT donated:
+            # iteration start_iter appends them to params_saved.
             hp = {**hyper_static, **hyper_in}
             carry = (params_opt[0], params_opt[1], log_post_in, ws_in)
 
@@ -560,8 +561,19 @@ class _GPLVMCommon(ABC):
         # cache the jitted program per (static config) — a fresh jax.jit
         # per call would retrace AND recompile every fit_em invocation
         # (measured ~5 s per call at T=100k), defeating the fast path
+        # donate the posterior carry ONLY when fit_em holds no other
+        # reference to the incoming buffer: for has_dynamics=False models
+        # in full output mode, iteration start_iter's snapshot
+        # (log_posterior_all_saved) IS the same array object as the
+        # latent-only log_posterior_curr, and donating it would leave a
+        # deleted array in em_res on TPU (CPU ignores donation, so tests
+        # there can't catch it).  Jump models snapshot the pre-logsumexp
+        # joint posterior — a different buffer — and lean mode snapshots
+        # nothing.
+        donate_post = self.has_dynamics or output_mode == "lean"
         cache_key = (
             n_mid, mm, obs, engine, n_time_per_chunk, output_mode, ws_spec,
+            donate_post,
             tuple(sorted(hyper_num.keys())),
             tuple(sorted((k, str(v)) for k, v in hyper_static.items())),
         )
@@ -571,7 +583,7 @@ class _GPLVMCommon(ABC):
         fused_prog = cache.get(cache_key)
         if fused_prog is None:
             fused_prog = cache[cache_key] = jax.jit(
-                prog, donate_argnums=(1, 2)
+                prog, donate_argnums=(1, 2) if donate_post else (2,)
             )
         # ``scan_ws``/the returned carry exist so a caller that runs several
         # fused segments over the SAME data within one fit (e.g. a future
@@ -596,9 +608,16 @@ class _GPLVMCommon(ABC):
         # of the iteration scan on its own, and computing it at the top of
         # the fused program itself raised that program's peak HBM enough to
         # tip the north-star over — its own program bounds the transient
-        # (T, N) gammaln buffer's liveness instead)
+        # (T, N) gammaln buffer's liveness instead).  Only the parallel-in-
+        # time driver consumes it — don't pay the (T, N) reduction on paths
+        # that would recompute it per chunk anyway (CPU, small T).
         lg = (
-            _lgamma_term_jit(y_, ma_neuron) if obs == "poisson" else None
+            _lgamma_term_jit(y_, ma_neuron)
+            if obs == "poisson"
+            and _hmm.engine_resolves_parallel(
+                y_.shape[0], trans, engine, mm
+            )
+            else None
         )
         (params, opt_state, log_post, ws), (lml_mid, diag_mid) = fused_prog(
             (params, opt_state), log_post_marg, ws0, y_, tuning_basis, trans,

@@ -980,17 +980,29 @@ def parallel_scan_carry_spec(n_time, trans, engine, force=False,
     is_joint = hasattr(trans, "Tdyn")
     n_dyn = trans.n_dyn if is_joint else 1
     upgraded = (
-        engine == "pallas_parallel"
-        or (engine == "pallas" and n_time >= _PARALLEL_UPGRADE_MIN_T
-            and _parallel_upgrade_ok(
-                n_time, trans.n_latent, n_dyn, memory_mode
-            )
-            and jax.default_backend() == "tpu")
+        engine_resolves_parallel(n_time, trans, engine, memory_mode)
         or force
     )
     if not upgraded:
         return None
     return ps.carry_spec(n_time, trans.n_latent, n_dyn)
+
+
+def engine_resolves_parallel(n_time, trans, engine, memory_mode="auto"):
+    """Whether ``smooth_combined_chunked`` with these statics routes to the
+    parallel-in-time driver on the current backend — the single predicate
+    behind the auto-upgrade, the warm-start carry spec, and the fused EM
+    path's loop-invariant lgamma precompute (which only that driver
+    consumes)."""
+    n_dyn = trans.n_dyn if hasattr(trans, "Tdyn") else 1
+    if engine == "pallas_parallel":
+        return True
+    return (
+        engine == "pallas"
+        and n_time >= _PARALLEL_UPGRADE_MIN_T
+        and _parallel_upgrade_ok(n_time, trans.n_latent, n_dyn, memory_mode)
+        and jax.default_backend() == "tpu"
+    )
 
 
 def _smooth_parallel_driver(

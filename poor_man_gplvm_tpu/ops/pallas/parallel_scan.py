@@ -114,12 +114,6 @@ def choose_parallel_config(T, L, n_dyn):
     Lp = _round_up(L, LANE)
     nd = max(1, n_dyn)
 
-    if _CONFIG_OVERRIDE is not None:
-        C, bt_f, bt_b = _CONFIG_OVERRIDE
-        if C < 2 or T < 4 * bt_f:
-            return None
-        return C, bt_f, bt_b
-
     def bwd_vmem(C, bt):
         blocks = bt * nd * C * Lp * 4
         fixed = 2 * nd * Lp * Lp * 4 + 3 * nd * C * Lp * 4
@@ -140,9 +134,16 @@ def choose_parallel_config(T, L, n_dyn):
     # RESOURCE_EXHAUSTED the north-star program (the carry alias buys the
     # ~2 GB that the C=128 kernels' extra footprint costs) — if this
     # config ever OOMs again, C=64/bt_b=8 is the known-lean fallback.
-    C = 128
-    bt_f = 16 if Lp <= 256 else 8
-    bt_b = bt_f if Lp <= 256 else 2
+    if _CONFIG_OVERRIDE is not None:
+        # an override is honored for C/bt_f but still passes through the
+        # VMEM budget clamps below — a too-large backward block would
+        # otherwise fail deep inside Mosaic compilation with no hint that
+        # the override caused it (this knob exists for OOM recovery)
+        C, bt_f, bt_b = _CONFIG_OVERRIDE
+    else:
+        C = 128
+        bt_f = 16 if Lp <= 256 else 8
+        bt_b = bt_f if Lp <= 256 else 2
     # the kernels request a raised scoped-VMEM limit (v5e has 128 MB
     # physical VMEM; the 16 MB default is only the scoped cap), so the
     # budget here mainly bounds double-buffer bloat
