@@ -50,6 +50,21 @@ Also free unrelated device arrays: buffers from earlier results count
 against the same 16 GB."""
 
 
+def _first_failed_certificate(diag_mid):
+    """(iteration, residuals) of the first fused iteration whose post-hoc
+    emit residual breaks the 1e-3 certificate, or None.  Written as
+    ~(x <= tol), not (x > tol): NaN residuals (a diverged solve) must FAIL
+    the certificate, and NaN > tol is False while ~(NaN <= tol) is True."""
+    if "scan_emit_delta" not in diag_mid:
+        return None
+    emit_delta = np.asarray(diag_mid["scan_emit_delta"])
+    bad_mask = ~(emit_delta <= 1e-3)
+    if np.any(bad_mask):
+        bad = int(np.argmax(bad_mask.any(axis=1)))
+        return bad, emit_delta[bad]
+    return None
+
+
 def _with_oom_guidance(fn):
     """Append actionable knob guidance to device RESOURCE_EXHAUSTED errors
     (the north-star scale sits near HBM capacity by design)."""
@@ -438,6 +453,7 @@ class _GPLVMCommon(ABC):
         self, y_, hyperparam, trans, tuning_basis, ma_neuron, ma_latent,
         likelihood_scale, n_time_per_chunk, memory_mode, params, opt_state,
         log_post_marg, n_mid, output_mode="full", scan_ws=None,
+        scan_fast=True,
     ):
         """Middle EM iterations as ONE lax.scan device program.
 
@@ -536,7 +552,7 @@ class _GPLVMCommon(ABC):
                         _hmm.smooth_combined_chunked(
                             y_in, tuning, hp, trans_in, ma_n, ma_l,
                             scan_carry_in=ws, want_scan_carry=True,
-                            scan_fast=True,
+                            scan_fast=scan_fast,
                             **smooth_kw,
                         )
                     )
@@ -573,7 +589,7 @@ class _GPLVMCommon(ABC):
         donate_post = self.has_dynamics or output_mode == "lean"
         cache_key = (
             n_mid, mm, obs, engine, n_time_per_chunk, output_mode, ws_spec,
-            donate_post,
+            donate_post, scan_fast,
             tuple(sorted(hyper_num.keys())),
             tuple(sorted((k, str(v)) for k, v in hyper_static.items())),
         )
@@ -892,16 +908,80 @@ class _GPLVMCommon(ABC):
             if use_fused and i == start_iter:
                 n_mid = n_iter - 1 - (start_iter + 1)
                 if n_mid > 0:
-                    (
-                        params, opt_state_curr, log_posterior_curr,
-                        lml_mid, diag_mid, _ws_fused,
-                    ) = self._fused_mid_iters(
+                    # keep the segment's (cheap) param inputs so a failed
+                    # fast segment can be redone strictly; the posterior
+                    # input is donated and must be replayed instead
+                    seg_params, seg_opt = params, opt_state_curr
+                    fused_out = self._fused_mid_iters(
                         y_, hyperparam, trans, tuning_basis, ma_neuron,
                         ma_latent, likelihood_scale, n_time_per_chunk,
                         memory_mode, params, opt_state_curr,
                         log_posterior_curr, n_mid,
                         output_mode=output_mode,
                     )
+                    bad_cert = _first_failed_certificate(fused_out[4])
+                    if bad_cert is not None:
+                        # the post-hoc certificate caught a fast-mode solve
+                        # whose drift prediction was violated (rare: seen
+                        # at shapes right at the warm-start work floor in
+                        # early, fast-moving EM iterations).  The fix is
+                        # mechanical — redo the segment with strict
+                        # raw-movement exits (tol 1e-6, no skipped finals
+                        # passes) — so do that instead of failing the fit.
+                        import warnings as _warnings
+
+                        _warnings.warn(
+                            "parallel-scan warm-start certificate failed "
+                            f"at fused iteration {bad_cert[0]} (emit "
+                            f"residual {bad_cert[1]}); re-running the "
+                            "fused segment with strict fixed-point exits."
+                        )
+                        # start_iter's E-step inputs are all still bound
+                        # and the smoother is deterministic: replay it to
+                        # reproduce the donated posterior carry exactly
+                        if output_mode == "lean":
+                            _sm = self._smooth(
+                                y_, tuning, hyperparam, trans, ma_neuron,
+                                ma_latent, likelihood_scale,
+                                n_time_per_chunk, mesh=mesh,
+                                memory_mode=memory_mode or "checkpoint",
+                                marginal_smooth=True,
+                            )
+                            log_post_replay = _sm[0][0]
+                        else:
+                            _sm = self._smooth(
+                                y_, tuning, hyperparam, trans, ma_neuron,
+                                ma_latent, likelihood_scale,
+                                n_time_per_chunk, mesh=mesh,
+                                **({"memory_mode": memory_mode}
+                                   if memory_mode else {}),
+                            )
+                            log_post_replay = (
+                                logsumexp(_sm[0], axis=1)
+                                if self.has_dynamics else _sm[0]
+                            )
+                        jax.block_until_ready(log_post_replay)
+                        fused_out = self._fused_mid_iters(
+                            y_, hyperparam, trans, tuning_basis, ma_neuron,
+                            ma_latent, likelihood_scale, n_time_per_chunk,
+                            memory_mode, seg_params, seg_opt,
+                            log_post_replay, n_mid,
+                            output_mode=output_mode, scan_fast=False,
+                        )
+                        bad_cert = _first_failed_certificate(fused_out[4])
+                        if bad_cert is not None:
+                            raise FloatingPointError(
+                                "parallel-scan certificate failed even "
+                                "with strict fixed-point exits at fused "
+                                f"iteration {bad_cert[0]}: emit residual "
+                                f"{bad_cert[1]} > 1e-3. The solve did not "
+                                "converge — rerun with fused=False or "
+                                "inference_engine='pallas'."
+                            )
+                    (
+                        params, opt_state_curr, log_posterior_curr,
+                        lml_mid, diag_mid, _ws_fused,
+                    ) = fused_out
                     log_marginal_l.extend(
                         lml_mid[j] for j in range(n_mid)
                     )
@@ -917,29 +997,12 @@ class _GPLVMCommon(ABC):
                             diag_mid.pop("scan_drift")
                         )
                     if "scan_emit_delta" in diag_mid:
-                        # post-hoc certificate for fast-mode solves that
-                        # skipped every finals-only pass: the emit pass's
-                        # residual must stay small or the mid-iteration
-                        # posteriors are suspect (failure detection, like
-                        # the nan guard below)
-                        emit_delta = np.asarray(
+                        # certificate already checked (and any failure
+                        # already redone strictly) before consumption —
+                        # keep the residuals as a diagnostic
+                        self._scan_emit_delta_mid = np.asarray(
                             diag_mid.pop("scan_emit_delta")
                         )
-                        self._scan_emit_delta_mid = emit_delta
-                        # ~(x <= tol), not (x > tol): NaN residuals (a
-                        # diverged solve) must FAIL the certificate, and
-                        # NaN > tol is False while ~(NaN <= tol) is True
-                        bad_mask = ~(emit_delta <= 1e-3)
-                        if np.any(bad_mask):
-                            bad = int(np.argmax(bad_mask.any(axis=1)))
-                            raise FloatingPointError(
-                                "parallel-scan warm-start certificate "
-                                f"failed at fused iteration {bad}: emit "
-                                f"residual {emit_delta[bad]} > 1e-3. The "
-                                "fixed-point drift prediction was violated "
-                                "— rerun with fused=False or "
-                                "inference_engine='pallas'."
-                            )
                     for k in m_step_res_l:
                         if k in diag_mid:
                             m_step_res_l[k].extend(
