@@ -56,13 +56,16 @@ def _em_iter_flops(T, L, N, n_dyn, scan_passes):
     emissions (Poisson LL as matmul + reductions)      ~ 4*T*L*N
     fwd+bwd scans: each pass is a (C,L)@(L,L) matvec
       per sequential step per dynamics state           ~ 2*T*n_dyn*L^2 each
-    pairwise-joint accumulation (bwd emit pass)        ~ 2*T*n_dyn*L^2
     M-step grouped statistics                          ~ 2*T*L*(N+1)
+
+    The pairwise-joint accumulation (~2*T*n_dyn^2*L^2) is NOT counted:
+    fused mid-EM iterations skip it entirely (want_acc=False — fit_em
+    discards the joint), so over a 12-iteration fit it amortizes to <1/12
+    of one iteration and counting it would inflate the achieved-FLOP/s.
     """
     return (
         4.0 * T * L * N
         + 2.0 * scan_passes * T * n_dyn * L * L
-        + 2.0 * T * n_dyn * L * L
         + 2.0 * T * L * (N + 1)
     )
 

@@ -542,6 +542,10 @@ class _GPLVMCommon(ABC):
                     observation_model=obs, engine=engine,
                     memory_mode=mm, marginal_smooth=True,
                     lgamma_term=lgamma_in,
+                    # mid iterations never consume the pairwise joint —
+                    # skip its in-kernel accumulation (reference fit_em
+                    # also discards it, core.py:650-676)
+                    want_acc=False,
                 )
                 diag = {
                     k: v for k, v in m_res.items()
@@ -845,7 +849,7 @@ class _GPLVMCommon(ABC):
                     y_, tuning, hyperparam, trans, ma_neuron, ma_latent,
                     likelihood_scale, n_time_per_chunk, mesh=mesh,
                     memory_mode=memory_mode or "checkpoint",
-                    marginal_smooth=True,
+                    marginal_smooth=True, want_acc=False,
                 )
                 log_posterior_all, lean_dyn_marg = smooth_out
                 log_posterior_curr = log_posterior_all
@@ -862,6 +866,7 @@ class _GPLVMCommon(ABC):
                 ) = self._smooth(
                     y_, tuning, hyperparam, trans, ma_neuron, ma_latent,
                     likelihood_scale, n_time_per_chunk, mesh=mesh,
+                    want_acc=False,
                     **({"memory_mode": memory_mode} if memory_mode else {}),
                 )
 
@@ -945,7 +950,7 @@ class _GPLVMCommon(ABC):
                                 ma_latent, likelihood_scale,
                                 n_time_per_chunk, mesh=mesh,
                                 memory_mode=memory_mode or "checkpoint",
-                                marginal_smooth=True,
+                                marginal_smooth=True, want_acc=False,
                             )
                             log_post_replay = _sm[0][0]
                         else:
@@ -953,6 +958,7 @@ class _GPLVMCommon(ABC):
                                 y_, tuning, hyperparam, trans, ma_neuron,
                                 ma_latent, likelihood_scale,
                                 n_time_per_chunk, mesh=mesh,
+                                want_acc=False,
                                 **({"memory_mode": memory_mode}
                                    if memory_mode else {}),
                             )

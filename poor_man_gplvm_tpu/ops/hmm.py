@@ -678,6 +678,7 @@ def smooth_combined_chunked(
     want_scan_carry=False,
     scan_fast=False,
     lgamma_term=None,
+    want_acc=True,
 ):
     """Chunked forward-backward smoother — the E-step workhorse.
 
@@ -700,6 +701,14 @@ def smooth_combined_chunked(
     ``lgamma_term``: optional precomputed ``emissions.poisson_lgamma_term``
     — consumed by the parallel-in-time engine (the path the fused EM scan
     takes); the sequential chunked paths recompute it per chunk.
+
+    ``want_acc=False``: the caller will discard ``log_accumulated_joint``
+    (the fused mid-EM iterations do — reference fit_em never consumes it,
+    core.py:650-676).  The parallel-in-time engine then skips the
+    pairwise-joint accumulation inside its backward emit kernel
+    (~2*n_dyn^2*T*Lp^2 FLOPs) and returns None in that slot; the other
+    engines ignore the hint — their accumulation is ordinary traced XLA
+    that dead-code-eliminates when the result is unused.
 
     ``memory_mode``: 'full' stores the filter posteriors/priors/likelihoods
     for the whole sequence (reference behaviour); 'checkpoint' stores only
@@ -759,6 +768,7 @@ def smooth_combined_chunked(
             marginal_smooth, n_time_per_chunk,
             scan_carry_in=scan_carry_in, want_scan_carry=want_scan_carry,
             scan_fast=scan_fast, lgamma_term=lgamma_term,
+            want_acc=want_acc,
         )
     if want_scan_carry:
         raise ValueError(
@@ -1009,7 +1019,7 @@ def _smooth_parallel_driver(
     y, tuning, hyperparam, trans, ma_neuron, ma_latent, likelihood_scale,
     observation_model, dt_l, memory_mode, marginal_smooth, n_time_per_chunk,
     scan_carry_in=None, want_scan_carry=False, scan_fast=False,
-    lgamma_term=None,
+    lgamma_term=None, want_acc=True,
 ):
     """engine='pallas_parallel': fixed-point parallel-in-time scans
     (ops/pallas/parallel_scan.py).  C chunks of the sequence advance
@@ -1023,7 +1033,7 @@ def _smooth_parallel_driver(
     is_joint = hasattr(trans, "Tdyn")
     n_dyn = trans.n_dyn if is_joint else 1
     L = trans.n_latent
-    cfg = ps.choose_parallel_config(T, L, n_dyn)
+    cfg = ps.choose_parallel_config(T, L, n_dyn, want_acc=want_acc)
     if cfg is None:
         if want_scan_carry:
             raise ValueError(
@@ -1077,7 +1087,7 @@ def _smooth_parallel_driver(
             uniform_rows=trans.uniform_rows, marginal=marginal_smooth,
             want_post=want_post, config=cfg, warm_start=scan_carry_in,
             fast=scan_fast, tol=1e-4 if scan_fast else 1e-6,
-            want_carry=want_scan_carry,
+            want_carry=want_scan_carry, want_acc=want_acc,
         )
     )  # NOTE: the ll buffer is donated into the call; the returned ll is
     #   the pass-through (None unless want_post)
@@ -1093,7 +1103,10 @@ def _smooth_parallel_driver(
     post_all = (
         prob_to_log(post if is_joint else post[:, 0]) if want_post else None
     )
-    acc_log = prob_to_log(acc if is_joint else acc[0, 0])
+    acc_log = (
+        prob_to_log(acc if is_joint else acc[0, 0])
+        if acc is not None else None
+    )
     ll_all = ll if want_post else None
     out = (smooth_all, log_marginal, post_all, ratios, acc_log, ll_all)
     if want_scan_carry:

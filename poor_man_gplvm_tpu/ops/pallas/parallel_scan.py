@@ -101,7 +101,7 @@ def set_config_override(cfg):
     _CONFIG_OVERRIDE = cfg
 
 
-def choose_parallel_config(T, L, n_dyn):
+def choose_parallel_config(T, L, n_dyn, want_acc=True):
     """Pick (C, block_t_fwd, block_t_bwd) for the fixed-point scans.
 
     C is bounded by VMEM (~16 MB): per grid step the forward kernel streams
@@ -129,11 +129,15 @@ def choose_parallel_config(T, L, n_dyn):
     # Measured on one v5e at T=1e6, L=500: full fused-EM north-star
     # (128,8,2) 0.379 s/iter vs (64,8,8) 0.394 — C=128 fills the MXU's
     # 128 rows per step and the small backward block keeps the
-    # (bt, nd, C, Lp) double buffers light.  HISTORY: before the fused
-    # program donated its (T, L) posterior carry, C=128 at Lp>256
-    # RESOURCE_EXHAUSTED the north-star program (the carry alias buys the
-    # ~2 GB that the C=128 kernels' extra footprint costs) — if this
-    # config ever OOMs again, C=64/bt_b=8 is the known-lean fallback.
+    # (bt, nd, C, Lp) double buffers light.  With ``want_acc=False``
+    # (fused mid-EM iterations: no joint accumulator / ratio scratch in
+    # the backward kernel) a larger backward block wins: (128,8,4)
+    # 0.312 s/iter vs (128,8,2) 0.321 and (128,8,8) 0.319.  HISTORY:
+    # before the fused program donated its (T, L) posterior carry, C=128
+    # at Lp>256 RESOURCE_EXHAUSTED the north-star program (the carry
+    # alias buys the ~2 GB that the C=128 kernels' extra footprint
+    # costs) — if this config ever OOMs again, C=64/bt_b=8 is the
+    # known-lean fallback; (128,16,4) OOMs HBM at the north-star.
     if _CONFIG_OVERRIDE is not None:
         # an override is honored for C/bt_f but still passes through the
         # VMEM budget clamps below — a too-large backward block would
@@ -143,7 +147,7 @@ def choose_parallel_config(T, L, n_dyn):
     else:
         C = 128
         bt_f = 16 if Lp <= 256 else 8
-        bt_b = bt_f if Lp <= 256 else 2
+        bt_b = bt_f if Lp <= 256 else (2 if want_acc else 4)
     # the kernels request a raised scoped-VMEM limit (v5e has 128 MB
     # physical VMEM; the 16 MB default is only the scoped cap), so the
     # budget here mainly bounds double-buffer bloat
@@ -199,7 +203,7 @@ def _pfilter_pass_ref(w_c, tlat_p, tdyn, ins, *, C, block_t, tc_eff,
 
 def _psmooth_pass_ref(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t,
                       tc_eff, n_valid, uniform_rows, marginal, finals_only,
-                      out_vma=None):
+                      want_acc=True, out_vma=None):
     Tcp = post_c.shape[0]
     nv = jnp.asarray(n_valid, dtype=jnp.int32)
     chunk_off = jnp.arange(C, dtype=jnp.int32) * tc_eff
@@ -232,6 +236,8 @@ def _psmooth_pass_ref(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t,
     if marginal:
         latmarg = jnp.sum(smooth, axis=1)
         dynm = jnp.sum(smooth, axis=3)
+        if not want_acc:
+            return (latmarg, dynm, fin)
         acc = jnp.einsum(
             "tdci,tecj->deij", post_c, r, precision=HIGHEST
         )
@@ -380,10 +386,18 @@ def _pfilter_pass(w_c, tlat_p, tdyn, ins, *, C, block_t, tc_eff, n_valid,
 def _psmooth_kernel(nv_ref, post_ref, tlat_ref, tlatT_ref, tdyn_ref,
                     ins_ref, *refs,
                     n_dyn, C, block_t, tc_eff, n_blocks,
-                    masked_tail, uniform_rows, marginal, finals_only):
+                    masked_tail, uniform_rows, marginal, finals_only,
+                    want_acc=True):
     if finals_only:
         final_ref, carry_ref, prior_ref = refs
         out_ref = dynm_ref = acc_ref = r_ref = acc_scr = None
+    elif marginal and not want_acc:
+        # marginal mode without the pairwise joint (fused mid-EM
+        # iterations discard it): skip the ratio scratch and the
+        # per-block (Lp, bt*C) @ (bt*C, Lp) accumulator epilogue —
+        # ~2*n_dyn^2*T*Lp^2 FLOPs of the backward emit pass
+        (out_ref, dynm_ref, final_ref, carry_ref, prior_ref) = refs
+        acc_ref = r_ref = acc_scr = None
     elif marginal:
         # memory-constrained mode: smoother ratios stay in a VMEM scratch
         # and fold into the on-chip joint accumulator per block
@@ -469,7 +483,8 @@ def _psmooth_kernel(nv_ref, post_ref, tlat_ref, tlatT_ref, tdyn_ref,
             new_d = jnp.where(valid, smooth_rows[d] * inv, carry_ref[d])
             carry_ref[d] = new_d
             if not finals_only:
-                r_ref[pl.ds(t, 1), d] = rs[d][None]
+                if r_ref is not None:
+                    r_ref[pl.ds(t, 1), d] = rs[d][None]
                 if marginal:
                     dynm_ref[pl.ds(t, 1), d] = jnp.sum(new_d, axis=1)[None]
                 else:
@@ -505,12 +520,12 @@ def _psmooth_kernel(nv_ref, post_ref, tlat_ref, tlatT_ref, tdyn_ref,
 
 def _psmooth_pass(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t, tc_eff,
                   n_valid, uniform_rows, marginal, finals_only,
-                  out_vma=None):
+                  want_acc=True, out_vma=None):
     if _interpret():  # off-TPU: the pure-JAX scan reference
         return _psmooth_pass_ref(
             post_c, tlat_p, tlatT_p, tdyn, ins, C=C, block_t=block_t,
             tc_eff=tc_eff, n_valid=n_valid, uniform_rows=uniform_rows,
-            marginal=marginal, finals_only=finals_only,
+            marginal=marginal, finals_only=finals_only, want_acc=want_acc,
         )
 
     def _sds(shape):
@@ -529,7 +544,7 @@ def _psmooth_pass(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t, tc_eff,
         _psmooth_kernel, n_dyn=n_dyn, C=C, block_t=block_t, tc_eff=tc_eff,
         n_blocks=n_blocks, masked_tail=Tcp != tc_eff,
         uniform_rows=uniform_rows, marginal=marginal,
-        finals_only=finals_only,
+        finals_only=finals_only, want_acc=want_acc,
     )
     nv = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1, 1)
     final_spec = pl.BlockSpec((n_dyn, C, Lp), const3,
@@ -542,6 +557,18 @@ def _psmooth_pass(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t, tc_eff,
                pltpu.VMEM((block_t, n_dyn, C, Lp), jnp.float32)]
     if finals_only:
         out_specs, out_shape = [final_spec], [final_shape]
+    elif marginal and not want_acc:
+        out_specs = [
+            pl.BlockSpec((block_t, C, Lp), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, n_dyn, C), rev3,
+                         memory_space=pltpu.VMEM),
+            final_spec,
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((Tcp, C, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Tcp, n_dyn, C), jnp.float32),
+            final_shape,
+        ]
     elif marginal:
         acc_spec = pl.BlockSpec((n_dyn, n_dyn, Lp, Lp), const4,
                                 memory_space=pltpu.VMEM)
@@ -606,14 +633,14 @@ def _chunk_to_flat(x_c, tc_eff, T):
     jax.jit,
     static_argnames=["C", "block_t", "block_t_bwd", "tc_eff", "T",
                      "uniform_rows", "marginal", "want_post", "max_passes",
-                     "tol", "fast", "want_carry", "has_ws"],
+                     "tol", "fast", "want_carry", "has_ws", "want_acc"],
     donate_argnums=(0,),  # ll (2 GB at north-star) — returned when want_post
 )
 def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale,
                          fwd_ws, bwd_ws, ws_pred, ws_valid, *,
                          C, block_t, block_t_bwd, tc_eff, T, uniform_rows,
                          marginal, want_post, max_passes, tol, fast,
-                         want_carry, has_ws):
+                         want_carry, has_ws, want_acc=True):
     n_dyn, L = tlat.shape[0], tlat.shape[-1]
     Lp = _round_up(L, LANE)
     Tcp = _round_up(tc_eff, max(block_t, block_t_bwd))
@@ -840,16 +867,20 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale,
         bwd_cond, bwd_body, bstate
     )
     emit = bwd(post_c, tlat_p, tlatT_p, tdyn, ins_bwd,
-               block_t=block_t_bwd, finals_only=False)
-    if marginal:
+               block_t=block_t_bwd, finals_only=False, want_acc=want_acc)
+    if marginal and not want_acc:
+        out_c, dynm_c, fin_b = emit
+        acc_raw = None
+    elif marginal:
         out_c, dynm_c, acc_raw, fin_b = emit
     else:
         out_c, r_c, fin_b = emit
         dynm_c = None
         # moderate-T mode: the pairwise-joint contraction over (t, c) runs
         # outside the kernel (invalid rows carry r == 0)
-        acc_raw = jnp.einsum(
-            "tdci,tecj->deij", post_c, r_c, precision=PRECISION
+        acc_raw = (
+            jnp.einsum("tdci,tecj->deij", post_c, r_c, precision=PRECISION)
+            if want_acc else None
         )
     if want_carry:
         emit_ins_b = bwd_shift(fin_b)
@@ -859,21 +890,17 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale,
         # peak-memory control: same as the mid barrier — bind the output
         # flattening to the (small) carry/certificate computations so
         # fin_b / ins_bwd die with the backward emit instead of living to
-        # the return
-        if dynm_c is None:
-            (out_c, acc_raw, emit_ins_b, emit_delta_b,
-             bwd_drift) = lax.optimization_barrier(
-                (out_c, acc_raw, emit_ins_b, emit_delta_b, bwd_drift)
-            )
-        else:
+        # the return (None entries are static pytree leaves: fine)
+        (out_c, dynm_c, acc_raw, emit_ins_b, emit_delta_b,
+         bwd_drift) = lax.optimization_barrier(
             (out_c, dynm_c, acc_raw, emit_ins_b, emit_delta_b,
-             bwd_drift) = lax.optimization_barrier(
-                (out_c, dynm_c, acc_raw, emit_ins_b, emit_delta_b,
-                 bwd_drift)
-            )
+             bwd_drift)
+        )
 
-    acc = acc_raw[:, :, :L, :L] * tdyn[:, :, None, None] \
+    acc = (
+        acc_raw[:, :, :L, :L] * tdyn[:, :, None, None]
         * tlat[None, :, :, :]
+    ) if acc_raw is not None else None
 
     # ---- reassemble global-time outputs ----
     if marginal:
@@ -927,7 +954,8 @@ def carry_spec(T, L, n_dyn, config=None):
 def smooth_parallel(ll, tlat, tdyn, p_init, likelihood_scale, *,
                     uniform_rows, marginal=False, want_post=False,
                     config=None, max_passes=None, tol=1e-6,
-                    warm_start=None, fast=False, want_carry=False):
+                    warm_start=None, fast=False, want_carry=False,
+                    want_acc=True):
     """Fixed-point parallel-in-time forward-backward smoother.
 
     ll: (T, L) log-likelihood; tlat: (n_dyn, L, L); tdyn: (n_dyn, n_dyn);
@@ -959,12 +987,17 @@ def smooth_parallel(ll, tlat, tdyn, p_init, likelihood_scale, *,
     direction — and a seed whose predicted error 4*drift is already <= tol
     skips every finals pass, the emit running straight from it.  Every
     fast solve is certified post-hoc by the emit pass's own residual
-    (diag[4:6]), which the caller must check in bulk.  NOTE: the caller's
-    ``ll`` buffer is DONATED."""
+    (diag[4:6]), which the caller must check in bulk.
+
+    ``want_acc=False`` returns ``acc=None`` and skips its computation —
+    in marginal mode this removes the backward emit kernel's per-block
+    pairwise-joint epilogue (~2*n_dyn^2*T*Lp^2 FLOPs), the dominant waste
+    when the caller (e.g. the fused mid-EM iterations) discards the joint.
+    NOTE: the caller's ``ll`` buffer is DONATED."""
     T, L = ll.shape
     n_dyn = tlat.shape[0]
     if config is None:
-        config = choose_parallel_config(T, L, n_dyn)
+        config = choose_parallel_config(T, L, n_dyn, want_acc=want_acc)
     if config is None:
         raise ValueError(
             f"problem too small for the parallel engine (T={T})"
@@ -997,4 +1030,5 @@ def smooth_parallel(ll, tlat, tdyn, p_init, likelihood_scale, *,
         uniform_rows=tuple(uniform_rows), marginal=marginal,
         want_post=want_post, max_passes=int(max_passes), tol=float(tol),
         fast=bool(fast), want_carry=bool(want_carry), has_ws=has_ws,
+        want_acc=bool(want_acc),
     )

@@ -136,6 +136,36 @@ def test_parallel_marginal_smooth_lean():
     assert par[2] is None and par[5] is None
 
 
+def test_parallel_want_acc_false_identical_and_skips_joint():
+    """want_acc=False (fused mid-EM iterations discard the pairwise joint)
+    must leave every other output bit-identical and return acc=None —
+    covering both the marginal path (in-kernel accumulation skipped) and
+    the full path (external contraction skipped)."""
+    rng = np.random.default_rng(17)
+    T = 600
+    y = rng.poisson(1.5, size=(T, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    trans = _joint_trans()
+    for kw in (dict(memory_mode="checkpoint", marginal_smooth=True),
+               dict()):
+        full = _run(y, tuning, trans, "pallas_parallel", **kw)
+        lean = _run(y, tuning, trans, "pallas_parallel", want_acc=False,
+                    **kw)
+        assert lean[4] is None
+        assert float(lean[1]) == float(full[1])
+        if kw.get("marginal_smooth"):
+            np.testing.assert_array_equal(
+                np.asarray(lean[0][0]), np.asarray(full[0][0]))
+            np.testing.assert_array_equal(
+                np.asarray(lean[0][1]), np.asarray(full[0][1]))
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(lean[0]), np.asarray(full[0]))
+        # the lean backward block may legitimately differ on TPU (config
+        # keys on want_acc); on the CPU interpret path both run the same
+        # pure-JAX reference, so equality above is exact
+
+
 def test_parallel_tiny_T_falls_back():
     """Sequences too short to chunk route to the sequential pallas engine
     and still honor the full contract."""
