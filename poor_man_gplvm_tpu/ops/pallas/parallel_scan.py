@@ -129,15 +129,16 @@ def choose_parallel_config(T, L, n_dyn, want_acc=True):
     # Measured on one v5e at T=1e6, L=500: full fused-EM north-star
     # (128,8,2) 0.379 s/iter vs (64,8,8) 0.394 — C=128 fills the MXU's
     # 128 rows per step and the small backward block keeps the
-    # (bt, nd, C, Lp) double buffers light.  With ``want_acc=False``
-    # (fused mid-EM iterations: no joint accumulator / ratio scratch in
-    # the backward kernel) a larger backward block wins: (128,8,4)
-    # 0.312 s/iter vs (128,8,2) 0.321 and (128,8,8) 0.319.  HISTORY:
-    # before the fused program donated its (T, L) posterior carry, C=128
-    # at Lp>256 RESOURCE_EXHAUSTED the north-star program (the carry
-    # alias buys the ~2 GB that the C=128 kernels' extra footprint
-    # costs) — if this config ever OOMs again, C=64/bt_b=8 is the
-    # known-lean fallback; (128,16,4) OOMs HBM at the north-star.
+    # (bt, nd, C, Lp) double buffers light.  HISTORY: before the fused
+    # program donated its (T, L) posterior carry, C=128 at Lp>256
+    # RESOURCE_EXHAUSTED the north-star program (the carry alias buys the
+    # ~2 GB that the C=128 kernels' extra footprint costs) — if this
+    # config ever OOMs again, C=64/bt_b=8 is the known-lean fallback.
+    # bt_b stays 2 at Lp>256 even with ``want_acc=False``: a 4-row
+    # backward block measured a few % faster in isolation but its bigger
+    # block buffers tip the full north-star program into
+    # RESOURCE_EXHAUSTED (re-measured standalone 2026-08-19), same as
+    # (128,16,4).
     if _CONFIG_OVERRIDE is not None:
         # an override is honored for C/bt_f but still passes through the
         # VMEM budget clamps below — a too-large backward block would
@@ -147,7 +148,7 @@ def choose_parallel_config(T, L, n_dyn, want_acc=True):
     else:
         C = 128
         bt_f = 16 if Lp <= 256 else 8
-        bt_b = bt_f if Lp <= 256 else (2 if want_acc else 4)
+        bt_b = bt_f if Lp <= 256 else 2
     # the kernels request a raised scoped-VMEM limit (v5e has 128 MB
     # physical VMEM; the 16 MB default is only the scoped cap), so the
     # budget here mainly bounds double-buffer bloat
