@@ -43,10 +43,14 @@ def get_posterior_weighted_average(feature, posterior):
     post_d = np.asarray(posterior.d)
     feat_d = np.asarray(feature_aligned.d)
     columns = getattr(posterior, "columns", np.arange(post_d.shape[1]))
+    # zero-occupancy states (posterior never visits them) have no defined
+    # average — report NaN explicitly instead of a divide RuntimeWarning
+    occ = post_d.sum(axis=0)
+    occ = np.where(occ > 0, occ, np.nan)
     if feat_d.ndim == 1:
-        pwa = (post_d * feat_d[:, None]).sum(axis=0) / post_d.sum(axis=0)
+        pwa = (post_d * feat_d[:, None]).sum(axis=0) / occ
         return pd.Series(pwa, index=columns)
-    pwa = np.einsum("tp,tf->pf", post_d, feat_d) / post_d.sum(axis=0)[:, None]
+    pwa = np.einsum("tp,tf->pf", post_d, feat_d) / occ[:, None]
     return pd.DataFrame(
         pwa, index=columns, columns=getattr(feature_aligned, "columns", None)
     )

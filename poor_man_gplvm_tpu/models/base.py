@@ -49,6 +49,10 @@ order of preference (all mathematically exact):
 Also free unrelated device arrays: buffers from earlier results count
 against the same 16 GB."""
 
+#: the known-lean parallel-scan launch config (knob #4 above): ~2 GB less
+#: peak HBM than the auto C=128 config at large L, ~4% slower
+_LEAN_SCAN_CONFIG = (64, 8, 8)
+
 
 def _first_failed_certificate(diag_mid):
     """(iteration, residuals) of the first fused iteration whose post-hoc
@@ -65,21 +69,78 @@ def _first_failed_certificate(diag_mid):
     return None
 
 
+def _is_oom(e):
+    return isinstance(e, jax.errors.JaxRuntimeError) and (
+        "RESOURCE_EXHAUSTED" in str(e)
+    )
+
+
 def _with_oom_guidance(fn):
-    """Append actionable knob guidance to device RESOURCE_EXHAUSTED errors
-    (the north-star scale sits near HBM capacity by design)."""
+    """Auto-recover from device RESOURCE_EXHAUSTED, then guide.
+
+    The north-star scale (T=1e6 x L=500 x N=500 on a 16 GB chip) sits near
+    HBM capacity by design, and whether the default C=128 parallel-scan
+    launch config fits depends on allocator state the library can't see
+    (live arrays and compiled programs from *earlier, unrelated* work).
+    So on the first RESOURCE_EXHAUSTED this wrapper retries the call ONCE
+    with knob #4 from the guidance below applied automatically: the lean
+    ``(64, 8, 8)`` scan config, after dropping every compiled program
+    (``jax.clear_caches()`` — compiled executables hold HBM too).  The
+    override is restored afterwards; the lean-traced programs stay cached
+    per shape, so repeat calls at the recovered shape stay lean while
+    other shapes keep the fast config.  If the lean retry still OOMs (or
+    a manual override was already active), the error is re-raised with
+    the full knob ladder appended."""
     import functools
 
     @functools.wraps(fn)
-    def wrapper(*a, **k):
+    def wrapper(self, *a, **k):
+        from poor_man_gplvm_tpu.ops.pallas import parallel_scan as _ps
+
         try:
-            return fn(*a, **k)
+            return fn(self, *a, **k)
         except jax.errors.JaxRuntimeError as e:
-            if "RESOURCE_EXHAUSTED" not in str(e):
+            if not _is_oom(e):
+                raise
+            if _ps._CONFIG_OVERRIDE is not None:
+                # already at the lean config (manual or a nested recovery):
+                # nothing left to try automatically
+                raise jax.errors.JaxRuntimeError(
+                    str(e) + _OOM_GUIDANCE
+                ) from e
+            # drop the traceback BEFORE retrying: its frames pin the failed
+            # call's device buffers (the 2 GB-scale posterior/spike arrays
+            # bound as fit_em locals), which would otherwise stay resident
+            # through the whole retry and re-OOM it
+            e.__traceback__ = None
+        # (the retry runs OUTSIDE the except block so no implicit exception
+        # reference survives on the thread state either)
+        import gc
+        import warnings
+
+        warnings.warn(
+            "[poor_man_gplvm_tpu] device HBM exhausted; retrying once "
+            f"with the lean parallel-scan config {_LEAN_SCAN_CONFIG} "
+            "after clearing compiled-program caches (exact, ~4% "
+            "slower). Set parallel_scan.set_config_override(...) "
+            "up front to skip the failed first compile."
+        )
+        cache = getattr(self, "_fused_prog_cache", None)
+        if cache:
+            cache.clear()
+        jax.clear_caches()
+        gc.collect()
+        _ps.set_config_override(_LEAN_SCAN_CONFIG)
+        try:
+            return fn(self, *a, **k)
+        except jax.errors.JaxRuntimeError as e2:
+            if not _is_oom(e2):
                 raise
             raise jax.errors.JaxRuntimeError(
-                str(e) + _OOM_GUIDANCE
-            ) from e
+                str(e2) + _OOM_GUIDANCE
+            ) from e2
+        finally:
+            _ps.set_config_override(None)
 
     return wrapper
 
@@ -687,10 +748,15 @@ class _GPLVMCommon(ABC):
         )
         verboase = kwargs.pop("verbose", verboase)
 
+        # asarray, NOT array: nothing in fit_em donates or mutates y_, and
+        # jnp.array's copy=True compiles a device-to-device 'jit_copy' of
+        # the whole spike matrix when the caller already device_put it —
+        # at the north-star scale that is a 2 GB allocation per call on a
+        # 16 GB chip (it was the first OOM site in the r3 bench)
         if compat.is_tsdframe(y):
-            y_ = jnp.array(y.d)
+            y_ = jnp.asarray(y.d)
         else:
-            y_ = jnp.array(y)
+            y_ = jnp.asarray(y)
 
         # adopt hyperparam overrides into instance attrs (reference
         # core.py:272-276, 608-616)

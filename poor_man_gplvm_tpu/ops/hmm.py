@@ -707,8 +707,12 @@ def smooth_combined_chunked(
     core.py:650-676).  The parallel-in-time engine then skips the
     pairwise-joint accumulation inside its backward emit kernel
     (~2*n_dyn^2*T*Lp^2 FLOPs) and returns None in that slot; the other
-    engines ignore the hint — their accumulation is ordinary traced XLA
-    that dead-code-eliminates when the result is unused.
+    engines ignore the hint — their accumulation is ordinary traced XLA,
+    which XLA dead-code-eliminates ONLY when this smoother is traced into
+    a larger program that drops the joint (e.g. the fused EM scan).  When
+    a host loop calls them directly the acc is an output of the jitted
+    program and is still computed; the SPMD mesh path likewise ignores
+    the hint (models/base._smooth drops it before sharded_smooth).
 
     ``memory_mode``: 'full' stores the filter posteriors/priors/likelihoods
     for the whole sequence (reference behaviour); 'checkpoint' stores only
@@ -1033,7 +1037,7 @@ def _smooth_parallel_driver(
     is_joint = hasattr(trans, "Tdyn")
     n_dyn = trans.n_dyn if is_joint else 1
     L = trans.n_latent
-    cfg = ps.choose_parallel_config(T, L, n_dyn, want_acc=want_acc)
+    cfg = ps.choose_parallel_config(T, L, n_dyn)
     if cfg is None:
         if want_scan_carry:
             raise ValueError(

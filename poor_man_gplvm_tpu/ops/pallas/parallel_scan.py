@@ -101,8 +101,14 @@ def set_config_override(cfg):
     _CONFIG_OVERRIDE = cfg
 
 
-def choose_parallel_config(T, L, n_dyn, want_acc=True):
+def choose_parallel_config(T, L, n_dyn):
     """Pick (C, block_t_fwd, block_t_bwd) for the fixed-point scans.
+
+    The config deliberately does NOT key on whether the caller wants the
+    pairwise-joint accumulator (``want_acc``): the backward block budget
+    is sized for the with-acc case (see ``bt_b`` comment below), so a
+    want_acc=False caller gets the identical launch config and XLA/jit
+    caches one program per shape, not two.
 
     C is bounded by VMEM (~16 MB): per grid step the forward kernel streams
     a (bt, C, Lp) weight block in and a (bt, n_dyn, C, Lp) posterior block
@@ -998,7 +1004,7 @@ def smooth_parallel(ll, tlat, tdyn, p_init, likelihood_scale, *,
     T, L = ll.shape
     n_dyn = tlat.shape[0]
     if config is None:
-        config = choose_parallel_config(T, L, n_dyn, want_acc=want_acc)
+        config = choose_parallel_config(T, L, n_dyn)
     if config is None:
         raise ValueError(
             f"problem too small for the parallel engine (T={T})"

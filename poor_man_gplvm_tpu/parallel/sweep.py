@@ -88,6 +88,23 @@ def expand_grid(hyperparam_ranges, n_repeat=1, defaults=None):
     return out, config_index, chain_index
 
 
+def _runs_sharding(mesh):
+    """NamedSharding that splits a leading run axis over EVERY device of
+    ``mesh`` (flattened — sweeps are pure DP, the mesh's named axes don't
+    matter here)."""
+    flat_mesh = Mesh(np.asarray(mesh.devices).reshape(-1), ("runs",))
+    return NamedSharding(flat_mesh, P("runs"))
+
+
+def _pad_rows(v, pad):
+    """Pad a batched array's leading axis by repeating its last row ``pad``
+    times (padded rows are computed redundantly and sliced off by the
+    caller) so every bucket shards evenly over the whole mesh."""
+    if not pad:
+        return v
+    return jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)])
+
+
 def _single_run_em(
     y, basis, hp_scalars, key, n_iter, n_latent_bin, m_step_size, m_maxiter,
     m_tol, likelihood_scale,
@@ -433,6 +450,7 @@ def _batched_modelclass_program(model_class_str, hp_keys, n_iter,
 def sweep_fit_model_class(
     y, config_l, key_l, model_class_str, n_iter=20, likelihood_scale=1.0,
     random_scale=0.1, m_step_size=0.01, m_maxiter=1000, m_tol=1e-6,
+    mesh=None,
 ):
     """Fit every (config, chain) run of a model class as bucketed vmapped
     programs, numerically matching the serial
@@ -442,6 +460,10 @@ def sweep_fit_model_class(
     ``key_l``: one fit_em PRNG key per run.  Buckets runs by
     (n_latent_bin, n_basis) — shape-changing hyperparameters cost one
     compile per distinct shape, not one fit per config.
+
+    ``mesh``: optional — shard each bucket's run axis over every device of
+    the mesh (pure DP; buckets are padded to a device multiple by
+    repeating the last run, and the padded rows sliced off).
 
     Returns a list of per-run dicts (params/tuning/log_marginal_l/...)."""
     from poor_man_gplvm_tpu.ops.basis import generate_basis
@@ -510,6 +532,14 @@ def sweep_fit_model_class(
             for k in hp_names
         )
         keys_stack = jnp.stack([key_l[i] for i in idxs])
+        pad = 0
+        if mesh is not None:
+            pad = (-len(idxs)) % mesh.devices.size
+            sharding = _runs_sharding(mesh)
+            hp_stack = tuple(
+                jax.device_put(_pad_rows(h, pad), sharding) for h in hp_stack
+            )
+            keys_stack = jax.device_put(_pad_rows(keys_stack, pad), sharding)
         prog = _batched_modelclass_program(
             model_class_str, tuple(hp_names), n_iter, L, m_step_size,
             m_maxiter, m_tol, likelihood_scale, random_scale,
@@ -518,6 +548,10 @@ def sweep_fit_model_class(
             res = prog(y, bases[bk0], params0[(nb,)], hp_stack, keys_stack)
         else:
             basis_stack = jnp.stack([bases[b] for b in bks])
+            if mesh is not None:
+                basis_stack = jax.device_put(
+                    _pad_rows(basis_stack, pad), _runs_sharding(mesh)
+                )
             prog_b = _batched_modelclass_program(
                 model_class_str, tuple(hp_names), n_iter, L, m_step_size,
                 m_maxiter, m_tol, likelihood_scale, random_scale,
@@ -526,6 +560,8 @@ def sweep_fit_model_class(
             res = prog_b(
                 y, basis_stack, params0[(nb,)], hp_stack, keys_stack
             )
+        if pad:
+            res = {k: v[: len(idxs)] for k, v in res.items()}
         for j, i in enumerate(idxs):
             per_run[i] = {k: v[j] for k, v in res.items()}
     return per_run
@@ -612,7 +648,7 @@ def _batched_masked_lml_program(model_class_str, hp_keys, n_latent_bin,
 
 def sweep_eval_model_class(
     y_test, per_run, config_l, model_class_str, masks_per_run,
-    likelihood_scale=1.0,
+    likelihood_scale=1.0, mesh=None,
 ):
     """Batched evaluation: full decodes for all runs + every
     (run x frac x mask-repeat) downsampled-LML decode, bucketed like the
@@ -620,6 +656,8 @@ def sweep_eval_model_class(
 
     ``masks_per_run``: {frac: list of (n_mask, L_i) mask arrays, one per
     run} (the serial path draws masks per config from its eval key).
+    ``mesh``: optional — shard each program's batch axis over every mesh
+    device (pure DP, padded like :func:`sweep_fit_model_class`).
     Returns (decode_metrics per run, {frac: list of (n_mask,) lml arrays
     per run})."""
     y_test = jnp.asarray(y_test, dtype=jnp.float32)
@@ -638,6 +676,7 @@ def sweep_eval_model_class(
 
     dec_per_run = [None] * B
     masked_per_run = {frac: [None] * B for frac in masks_per_run}
+    sharding = _runs_sharding(mesh) if mesh is not None else None
     for L, idxs in sorted(buckets.items()):
         tuning_stack = jnp.stack([per_run[i]["tuning"] for i in idxs])
         hp_stack = tuple(
@@ -647,14 +686,25 @@ def sweep_eval_model_class(
         dec_prog = _batched_decode_program(
             model_class_str, tuple(hp_names), L, likelihood_scale
         )
-        dec = dec_prog(y_test, tuning_stack, hp_stack)
+        nb_runs = len(idxs)
+        pad = 0
+        if sharding is not None:
+            pad = (-nb_runs) % mesh.devices.size
+            tun_in = jax.device_put(_pad_rows(tuning_stack, pad), sharding)
+            hp_in = tuple(
+                jax.device_put(_pad_rows(h, pad), sharding) for h in hp_stack
+            )
+        else:
+            tun_in, hp_in = tuning_stack, hp_stack
+        dec = dec_prog(y_test, tun_in, hp_in)
+        if pad:
+            dec = {k: v[:nb_runs] for k, v in dec.items()}
         for j, i in enumerate(idxs):
             dec_per_run[i] = {k: v[j] for k, v in dec.items()}
 
         mask_prog = _batched_masked_lml_program(
             model_class_str, tuple(hp_names), L, likelihood_scale
         )
-        nb_runs = len(idxs)
         for frac, masks_l in masks_per_run.items():
             masks_L = jnp.stack(
                 [jnp.asarray(masks_l[i], dtype=jnp.float32) for i in idxs]
@@ -664,7 +714,22 @@ def sweep_eval_model_class(
             tun_flat = jnp.repeat(tuning_stack, n_mask, axis=0)
             hp_flat = tuple(jnp.repeat(h, n_mask, axis=0) for h in hp_stack)
             mask_flat = masks_L.reshape(nb_runs * n_mask, L)
+            pad_m = 0
+            if sharding is not None:
+                pad_m = (-(nb_runs * n_mask)) % mesh.devices.size
+                tun_flat = jax.device_put(
+                    _pad_rows(tun_flat, pad_m), sharding
+                )
+                hp_flat = tuple(
+                    jax.device_put(_pad_rows(h, pad_m), sharding)
+                    for h in hp_flat
+                )
+                mask_flat = jax.device_put(
+                    _pad_rows(mask_flat, pad_m), sharding
+                )
             lml_flat = mask_prog(y_test, tun_flat, hp_flat, mask_flat)
+            if pad_m:
+                lml_flat = lml_flat[: nb_runs * n_mask]
             lml_rm = lml_flat.reshape(nb_runs, n_mask)
             for j, i in enumerate(idxs):
                 masked_per_run[frac][i] = lml_rm[j]

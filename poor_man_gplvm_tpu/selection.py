@@ -213,6 +213,7 @@ def model_selection_one_split(
     jump_consensus_consensus_thresh=0.8,
     verbose=True,
     backend="auto",
+    mesh=None,
 ):
     """Fit + evaluate all grid configs on one contiguous train/test split
     (reference model_selection_helper.py:145-239).
@@ -227,10 +228,20 @@ def model_selection_one_split(
       fit_kwargs to be batchable (see ``_batched_backend_applicable``).
     * ``'auto'`` (default) — 'batched' whenever applicable and more than
       one run is requested.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the batched backend shards
+    every program's run axis over all mesh devices (pure DP; results are
+    identical to the single-device batched path).  Requires the batched
+    backend to be applicable.
     """
     key = jr.PRNGKey(0) if key is None else key
     if backend not in ("auto", "serial", "batched"):
         raise ValueError(f"unknown backend {backend!r}")
+    if mesh is not None and backend == "serial":
+        raise ValueError(
+            "mesh= requires the batched backend (the serial host loop "
+            "runs one device program per config)"
+        )
     if backend != "serial":
         n_configs = int(
             np.prod([len(v) for v in hyperparam_dict.values()])
@@ -238,7 +249,7 @@ def model_selection_one_split(
         applicable = _batched_backend_applicable(
             hyperparam_dict, fit_kwargs, model_class_str, n_configs, n_repeat
         )
-        if backend == "batched" and not applicable:
+        if (backend == "batched" or mesh is not None) and not applicable:
             raise ValueError(
                 "backend='batched' cannot handle this grid/fit_kwargs "
                 "combination (shape-incompatible or unsupported keys) — "
@@ -251,7 +262,7 @@ def model_selection_one_split(
                 latent_downsample_frac, downsample_n_repeat, metric_type_l,
                 jump_dynamics_index, jump_consensus_window_size,
                 jump_consensus_jump_p_thresh, jump_consensus_consensus_thresh,
-                verbose,
+                verbose, mesh=mesh,
             )
     T, n_neuron = y.shape
     metric_type_l = list(metric_type_l)
@@ -458,6 +469,7 @@ def _model_selection_one_split_batched(
     latent_downsample_frac, downsample_n_repeat, metric_type_l,
     jump_dynamics_index, jump_consensus_window_size,
     jump_consensus_jump_p_thresh, jump_consensus_consensus_thresh, verbose,
+    mesh=None,
 ):
     """backend='batched': the serial tree (fit chains -> decode -> masked
     decodes -> consensus) recast as bucketed vmapped device programs, with
@@ -518,6 +530,7 @@ def _model_selection_one_split_batched(
         m_step_size=float(fk.get("m_step_step_size", 0.01)),
         m_maxiter=int(fk.get("m_step_maxiter", 1000)),
         m_tol=float(fk.get("m_step_tol", 1e-6)),
+        mesh=mesh,
     )
 
     # per-run downsampled masks, drawn exactly like the serial path (same
@@ -542,7 +555,7 @@ def _model_selection_one_split_batched(
 
     dec_per_run, masked_per_run = _sweep.sweep_eval_model_class(
         y_test, per_run, config_l, model_class_str, masks_per_run,
-        likelihood_scale=1.0,
+        likelihood_scale=1.0, mesh=mesh,
     )
 
     # materialize model objects (fitted params/tuning) for the return

@@ -4,10 +4,18 @@ TPU-native equivalent of reference poor_man_gplvm/pandas_util.py: logic nodes
 (``all``/``any``/``not`` as dicts or tagged lists), leaf conditions
 ``[col, op, value?, opts?]`` with comparator / membership / between / null /
 string operators, and an implicit-AND list form.
+
+Internally this is a two-stage compiler, unlike the reference's single
+recursive walk: ``_parse`` first normalizes every accepted input form
+(dict logic nodes, tagged lists, bare leaves, implicit-AND lists) into a
+uniform ``(tag, children)`` tree, and ``_Compiler`` then evaluates that
+tree against a concrete DataFrame, dispatching leaves through the
+``_OP_HANDLERS`` table and interning query ``@``-parameters as it goes.
 """
 
 from __future__ import annotations
 
+import operator
 import re
 from typing import Any, Dict, List, Tuple, Union
 
@@ -18,160 +26,206 @@ Spec = Union[List[Any], Tuple[Any, ...], Dict[str, Any]]
 
 __all__ = ["filter_df_with_spec"]
 
-_COMPARATORS = {"==": "eq", "!=": "ne", "<": "lt", ">": "gt", "<=": "le",
-                ">=": "ge"}
-_LOGIC_TAGS = {"all", "any", "not"}
+_BRANCH_TAGS = frozenset({"all", "any", "not"})
 
 
-def _btick(col):
-    return f"`{col}`" if re.search(r"\W", col) else col
+# ---------------------------------------------------------------------------
+# stage 1: normalize the accepted spec forms into a uniform tagged tree
+# ---------------------------------------------------------------------------
+# Node shapes after parsing:
+#   ("all"|"any", [child, ...])
+#   ("not", [child])
+#   ("leaf", (col, op, value, opts))
 
 
-def _new_var(env, var_id, v):
-    name = f"v{var_id[0]}"
-    var_id[0] += 1
-    env[name] = v
-    return name
+def _branch_tag_of(node):
+    """The logic tag a list/dict node carries, or None for leaves."""
+    if isinstance(node, dict):
+        for tag in ("not", "all", "any"):
+            if tag in node:
+                return tag
+        return None
+    if (
+        isinstance(node, (list, tuple))
+        and node
+        and isinstance(node[0], str)
+        and node[0].lower() in _BRANCH_TAGS
+    ):
+        return node[0].lower()
+    return None
 
 
-def _ensure_listlike(x):
-    if isinstance(x, (list, tuple, set, pd.Index, np.ndarray)):
-        return list(x)
-    return [x]
-
-
-def _is_logic_list(node):
-    return (
-        isinstance(node, (list, tuple)) and node and isinstance(node[0], str)
-        and node[0].lower() in _LOGIC_TAGS
-    )
-
-
-def _is_logic_dict(node):
-    return isinstance(node, dict) and any(k in node for k in _LOGIC_TAGS)
-
-
-def _is_leaf_list(node):
-    return (
-        isinstance(node, (list, tuple)) and len(node) >= 2
-        and isinstance(node[0], str) and node[0].lower() not in _LOGIC_TAGS
-    )
-
-
-def _compile_leaf(df, leaf, env, var_id):
-    col = leaf[0]
-    op = str(leaf[1]).lower()
-    val = leaf[2] if len(leaf) >= 3 else None
-    opts = leaf[3] if len(leaf) >= 4 and isinstance(leaf[3], dict) else {}
-    if col not in df.columns:
-        raise KeyError(f"Column '{col}' not in DataFrame.")
-    s = df[col]
-    col_bt = _btick(col)
-
-    if op in _COMPARATORS:
-        var = _new_var(env, var_id, val)
-        return getattr(s, _COMPARATORS[op])(env[var]), f"{col_bt} {op} @{var}"
-
-    if op in {"in", "not in"}:
-        var = _new_var(env, var_id, _ensure_listlike(val))
-        mask = s.isin(env[var])
-        if op == "not in":
-            return ~mask, f"{col_bt} not in @{var}"
-        return mask, f"{col_bt} in @{var}"
-
-    if op == "between":
-        if not (isinstance(val, (list, tuple)) and len(val) == 2):
-            raise ValueError("between expects value=(low, high).")
-        low, high = val
-        inclusive = opts.get("inclusive", "both")
-        mask = s.between(low, high, inclusive=inclusive)
-        vL, vH = _new_var(env, var_id, low), _new_var(env, var_id, high)
-        ops = {
-            "both": ("<=", "<="), True: ("<=", "<="),
-            "neither": ("<", "<"), False: ("<", "<"),
-            "left": ("<=", "<"), "right": ("<", "<="),
-        }.get(inclusive, ("<=", "<="))
-        q = f"(@{vL} {ops[0]} {col_bt}) and ({col_bt} {ops[1]} @{vH})"
-        return mask, q
-
-    if op in {"isna", "isnull"}:
-        return s.isna(), f"{col_bt}.isnull()"
-    if op in {"notna", "notnull"}:
-        return s.notna(), f"{col_bt}.notnull()"
-
-    if op in {"contains", "startswith", "endswith", "regex"}:
-        case = bool(opts.get("case", True))
-        na = opts.get("na", False)
-        strobj = s.astype("string")
-        pat = str(val)
-        var = _new_var(env, var_id, pat)
-        if op in {"contains", "regex"}:
-            regex = True if op == "regex" else bool(opts.get("regex", True))
-            mask = strobj.str.contains(pat, case=case, na=na, regex=regex)
-            return mask, (
-                f"{col_bt}.str.contains(@{var}, case={case}, na={na}, "
-                f"regex={regex})"
+def _parse(spec):
+    tag = _branch_tag_of(spec)
+    if tag is not None:
+        if isinstance(spec, dict):
+            body = spec[tag]
+            kids = (
+                list(body)
+                if tag != "not" and isinstance(body, (list, tuple))
+                else [body]
             )
-        if op == "startswith":
-            return strobj.str.startswith(pat, na=na), (
-                f"{col_bt}.str.startswith(@{var}, na={na})"
-            )
-        return strobj.str.endswith(pat, na=na), (
-            f"{col_bt}.str.endswith(@{var}, na={na})"
-        )
-
-    raise ValueError(f"Unsupported op: {op}")
-
-
-def _combine(df, parts, how):
-    if how == "all":
-        mask = pd.Series(True, index=df.index)
-        joiner = " and "
-    else:
-        mask = pd.Series(False, index=df.index)
-        joiner = " or "
-    qs = []
-    for m, q in parts:
-        mask = mask & m if how == "all" else mask | m
-        qs.append(f"({q})")
-    return mask, ("(" + joiner.join(qs) + ")" if qs else "")
-
-
-def _compile_spec(df, spec, env, var_id):
-    if _is_logic_dict(spec):
-        if "not" in spec:
-            m, q = _compile_spec(df, spec["not"], env, var_id)
-            return ~m, f"not ({q})"
-        tag = "all" if "all" in spec else "any"
-        items = spec[tag]
-        if not isinstance(items, (list, tuple)):
-            items = [items]
-        parts = [_compile_spec(df, it, env, var_id) for it in items]
-        return _combine(df, parts, tag)
-
-    if _is_logic_list(spec):
-        tag = spec[0].lower()
-        if tag == "not":
-            if len(spec) != 2:
+        else:  # tagged list form: ['all'|'any'|'not', child, ...]
+            kids = list(spec[1:])
+            if tag == "not" and len(kids) != 1:
                 raise ValueError("['not', spec] expects exactly one child.")
-            m, q = _compile_spec(df, spec[1], env, var_id)
-            return ~m, f"not ({q})"
-        parts = [_compile_spec(df, s, env, var_id) for s in spec[1:]]
-        return _combine(df, parts, tag)
+        return tag, [_parse(k) for k in kids]
 
-    if _is_leaf_list(spec):
-        return _compile_leaf(df, spec, env, var_id)
-
-    if isinstance(spec, (list, tuple)):  # implicit AND
+    if isinstance(spec, (list, tuple)):
         if not spec:
             raise ValueError("Empty spec list.")
-        parts = [_compile_spec(df, node, env, var_id) for node in spec]
-        # NOTE: do not strip the outer parens — q.strip("()") removes ALL
-        # leading/trailing paren characters and produced unbalanced query
-        # strings like 'a > @v0) and (b < @v1'
-        return _combine(df, parts, "all")
+        if len(spec) >= 2 and isinstance(spec[0], str):
+            # bare leaf: [col, op, value?, opts?]
+            col, op = spec[0], str(spec[1]).lower()
+            value = spec[2] if len(spec) > 2 else None
+            opts = (
+                spec[3]
+                if len(spec) > 3 and isinstance(spec[3], dict)
+                else {}
+            )
+            return "leaf", (col, op, value, opts)
+        # implicit AND over a bare list of nodes
+        return "all", [_parse(k) for k in spec]
 
     raise ValueError("Invalid spec structure.")
+
+
+# ---------------------------------------------------------------------------
+# stage 2: evaluate the tagged tree against a DataFrame
+# ---------------------------------------------------------------------------
+
+_CMP_OPS = {
+    "==": operator.eq, "!=": operator.ne,
+    "<": operator.lt, ">": operator.gt,
+    "<=": operator.le, ">=": operator.ge,
+}
+
+#: (lower-bound op, upper-bound op) per pandas `inclusive` flavor, for the
+#: query-string rendering of `between` (legacy bool values included)
+_BETWEEN_BOUNDS = {
+    "both": ("<=", "<="), "neither": ("<", "<"),
+    "left": ("<=", "<"), "right": ("<", "<="),
+    True: ("<=", "<="), False: ("<", "<"),
+}
+
+
+class _Compiler:
+    """Walks a parsed spec tree, producing a boolean mask and an
+    equivalent ``df.query`` string whose ``@``-parameters it interns
+    into ``self.env``."""
+
+    def __init__(self, df):
+        self.df = df
+        self.env: Dict[str, Any] = {}
+
+    def intern(self, value):
+        """Bind ``value`` to a fresh env name; return its ``@``-reference."""
+        ref = f"v{len(self.env)}"
+        self.env[ref] = value
+        return f"@{ref}"
+
+    def column(self, name):
+        if name not in self.df.columns:
+            raise KeyError(f"Column '{name}' not in DataFrame.")
+        # backtick-quote anything that isn't a plain identifier
+        quoted = name if re.fullmatch(r"\w+", name) else f"`{name}`"
+        return self.df[name], quoted
+
+    def run(self, node):
+        tag, body = node
+        if tag == "leaf":
+            col, op, value, opts = body
+            series, colref = self.column(col)
+            handler = _OP_HANDLERS.get(op)
+            if handler is None:
+                raise ValueError(f"Unsupported op: {op}")
+            return handler(self, series, colref, op, value, opts)
+        if tag == "not":
+            mask, q = self.run(body[0])
+            return ~mask, f"not ({q})"
+        # all / any
+        parts = [self.run(kid) for kid in body]
+        masks = [m for m, _ in parts]
+        if tag == "all":
+            combined = np.logical_and.reduce(masks) if parts else np.ones(
+                len(self.df), dtype=bool
+            )
+            glue = " and "
+        else:
+            combined = np.logical_or.reduce(masks) if parts else np.zeros(
+                len(self.df), dtype=bool
+            )
+            glue = " or "
+        mask = pd.Series(np.asarray(combined), index=self.df.index)
+        q = glue.join(f"({snippet})" for _, snippet in parts)
+        return mask, (f"({q})" if q else "")
+
+
+# --- leaf op handlers (each returns (mask, query-snippet)) -----------------
+
+
+def _op_compare(c, series, colref, op, value, opts):
+    return _CMP_OPS[op](series, value), f"{colref} {op} {c.intern(value)}"
+
+
+def _op_membership(c, series, colref, op, value, opts):
+    if not isinstance(value, (list, tuple, set, pd.Index, np.ndarray)):
+        value = [value]
+    ref = c.intern(list(value))
+    mask = series.isin(c.env[ref[1:]])
+    if op == "not in":
+        return ~mask, f"{colref} not in {ref}"
+    return mask, f"{colref} in {ref}"
+
+
+def _op_between(c, series, colref, op, value, opts):
+    if not (isinstance(value, (list, tuple)) and len(value) == 2):
+        raise ValueError("between expects value=(low, high).")
+    lo, hi = value
+    inclusive = opts.get("inclusive", "both")
+    lo_op, hi_op = _BETWEEN_BOUNDS.get(inclusive, ("<=", "<="))
+    q = (
+        f"({c.intern(lo)} {lo_op} {colref})"
+        f" and ({colref} {hi_op} {c.intern(hi)})"
+    )
+    return series.between(lo, hi, inclusive=inclusive), q
+
+
+def _op_null(c, series, colref, op, value, opts):
+    if op in ("isna", "isnull"):
+        return series.isna(), f"{colref}.isnull()"
+    return series.notna(), f"{colref}.notnull()"
+
+
+def _op_string(c, series, colref, op, value, opts):
+    pattern = str(value)
+    na = opts.get("na", False)
+    text = series.astype("string")
+    ref = c.intern(pattern)
+    if op in ("contains", "regex"):
+        case = bool(opts.get("case", True))
+        use_regex = True if op == "regex" else bool(opts.get("regex", True))
+        mask = text.str.contains(pattern, case=case, na=na, regex=use_regex)
+        q = (
+            f"{colref}.str.contains({ref}, case={case}, na={na},"
+            f" regex={use_regex})"
+        )
+        return mask, q
+    mask = getattr(text.str, op)(pattern, na=na)
+    return mask, f"{colref}.str.{op}({ref}, na={na})"
+
+
+_OP_HANDLERS = {}
+for _op in _CMP_OPS:
+    _OP_HANDLERS[_op] = _op_compare
+for _op in ("in", "not in"):
+    _OP_HANDLERS[_op] = _op_membership
+_OP_HANDLERS["between"] = _op_between
+for _op in ("isna", "isnull", "notna", "notnull"):
+    _OP_HANDLERS[_op] = _op_null
+for _op in ("contains", "regex", "startswith", "endswith"):
+    _OP_HANDLERS[_op] = _op_string
+del _op
 
 
 def filter_df_with_spec(df, spec, *, return_query=True):
@@ -180,11 +234,10 @@ def filter_df_with_spec(df, spec, *, return_query=True):
     Returns {'df': filtered, 'mask': boolean Series} plus, when
     ``return_query``, the equivalent pandas query string and its @-variable
     environment."""
-    env: Dict[str, Any] = {}
-    var_id = [0]
-    mask, q = _compile_spec(df, spec, env, var_id)
+    compiler = _Compiler(df)
+    mask, query = compiler.run(_parse(spec))
     out = {"df": df[mask], "mask": mask}
     if return_query:
-        out["query"] = q
-        out["env"] = env
+        out["query"] = query
+        out["env"] = compiler.env
     return out

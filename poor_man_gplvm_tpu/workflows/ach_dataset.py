@@ -419,10 +419,14 @@ def get_post_pre_diff(df, center=0, test_win=None):
     pre = df.loc[:, (cols < center) & (cols >= center - test_win)].mean(axis=1)
     post = df.loc[:, (cols > center) & (cols <= center + test_win)].mean(axis=1)
     diff = post - pre
+    # a degenerate sample (0/1 events, or identical diffs) has no spread:
+    # report NaN explicitly instead of raising a divide-by-zero warning
+    diff_std = diff.std()
+    effect_size = diff.mean() / diff_std if diff_std > 0 else float("nan")
     return {
         "pre": pre, "post": post, "diff": diff,
         "diff_median": diff.median(),
-        "effect_size": diff.mean() / diff.std(),
+        "effect_size": effect_size,
     }
 
 
@@ -711,8 +715,10 @@ def latent_cluster_vs_timing_regression(
         X = build_X(labels)
         y = labels[1:]
         l1_ratio = 1.0 if regularization_method == "l1" else 0.0
+        # sklearn >= 1.8: a float l1_ratio alone selects the elasticnet
+        # path (passing penalty= as well is deprecated)
         clf = LogisticRegression(
-            penalty="elasticnet", l1_ratio=l1_ratio,
+            l1_ratio=l1_ratio,
             C=1.0 / max(alpha, 1e-8), solver="saga", max_iter=2000,
         ).fit(X, y)
         score = clf.score(X, y)

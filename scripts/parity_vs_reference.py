@@ -324,8 +324,17 @@ def main():
     results = run_all(quick=args.quick)
     n_bad = sum(len(check_case_errs(e)) for e in results.values())
     summary = {
+        # the FULL tolerance scheme (VERDICT r3 next #8): every error in
+        # `cases` is judged against exactly one of these three bars —
+        # see check_case_errs for the key -> tolerance mapping
         "tol_log_marginal": TOL_LOG_MARGINAL,
         "tol_posterior": TOL_POSTERIOR,
+        "tol_fit_posterior": TOL_FIT_POSTERIOR,
+        "tol_scheme": {
+            "fit_posterior|fit_gain": TOL_FIT_POSTERIOR,
+            "*posterior*|decode_p_*": TOL_POSTERIOR,
+            "everything_else(log-marginal rel)": TOL_LOG_MARGINAL,
+        },
         "n_breaches": n_bad,
         "worst_fit_log_marginal_rel": max(
             e["fit_log_marginal_l"] for e in results.values()

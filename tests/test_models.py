@@ -537,35 +537,88 @@ def test_bspline_basis_and_smoothness_penalty():
     assert rough(m_hi.tuning) < rough(m_lo.tuning)
 
 
-def test_oom_error_carries_guidance(monkeypatch):
-    """Device RESOURCE_EXHAUSTED errors surface the memory-knob guidance
-    (models/base.py _with_oom_guidance); other errors pass through as-is."""
+def test_oom_recovery_retries_with_lean_config(monkeypatch):
+    """Device RESOURCE_EXHAUSTED triggers ONE automatic retry with the lean
+    parallel-scan config after clearing compiled-program caches
+    (models/base.py _with_oom_guidance; VERDICT r3 next #1): the retried
+    call must run under the (64, 8, 8) override, the override must be
+    restored afterwards, and the caller sees the recovered result."""
     import jax as _jax
     import poor_man_gplvm_tpu as pmg
+    from poor_man_gplvm_tpu.models import base as mbase
     from poor_man_gplvm_tpu.ops import hmm as _hmm
+    from poor_man_gplvm_tpu.ops.pallas import parallel_scan as _ps
+
+    # keep the suite fast: the recovery's real clear_caches would drop
+    # every other test's compiled programs (behavior is equivalent here —
+    # nothing at this toy shape is cached across the two calls)
+    monkeypatch.setattr(_jax, "clear_caches", lambda: None)
 
     m = pmg.PoissonGPLVMJump1D(5, n_latent_bin=8, movement_variance=1,
                                tuning_lengthscale=3.0)
     _, y = m.sample(50)
 
+    real_smooth = _hmm.smooth_combined_chunked
+    seen = {"n_calls": 0, "override_at_retry": "unset"}
+
+    def flaky(*a, **k):
+        seen["n_calls"] += 1
+        if seen["n_calls"] == 1:
+            raise _jax.errors.JaxRuntimeError(
+                "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)."
+            )
+        seen["override_at_retry"] = _ps._CONFIG_OVERRIDE
+        return real_smooth(*a, **k)
+
+    monkeypatch.setattr(_hmm, "smooth_combined_chunked", flaky)
+    with pytest.warns(UserWarning, match="lean parallel-scan config"):
+        res = m.decode_latent(y)
+    assert seen["override_at_retry"] == mbase._LEAN_SCAN_CONFIG
+    assert _ps._CONFIG_OVERRIDE is None  # restored after recovery
+    assert np.isfinite(res["log_marginal_final"])
+
+    # a persistent OOM exhausts the single retry and surfaces the knob
+    # guidance (fresh model: the recovered program is cached on `m`)
     def boom(*a, **k):
         raise _jax.errors.JaxRuntimeError(
             "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)."
         )
 
+    m2 = pmg.PoissonGPLVMJump1D(5, n_latent_bin=8, movement_variance=1,
+                                tuning_lengthscale=3.0)
     monkeypatch.setattr(_hmm, "smooth_combined_chunked", boom)
-    with pytest.raises(_jax.errors.JaxRuntimeError) as ei:
-        m.decode_latent(y)
+    with pytest.warns(UserWarning, match="lean parallel-scan config"):
+        with pytest.raises(_jax.errors.JaxRuntimeError) as ei:
+            m2.decode_latent(y)
     assert "set_config_override" in str(ei.value)
     assert "memory_mode='checkpoint'" in str(ei.value)
+    assert _ps._CONFIG_OVERRIDE is None
 
+    # with a manual override already active there is nothing to retry:
+    # fail immediately with guidance (and exactly one smoother call)
+    m3 = pmg.PoissonGPLVMJump1D(5, n_latent_bin=8, movement_variance=1,
+                                tuning_lengthscale=3.0)
+    seen["n_calls"] = 0
+    monkeypatch.setattr(_hmm, "smooth_combined_chunked", flaky)
+    _ps.set_config_override((64, 8, 8))
+    try:
+        with pytest.raises(_jax.errors.JaxRuntimeError) as ei3:
+            m3.decode_latent(y)
+    finally:
+        _ps.set_config_override(None)
+    assert "set_config_override" in str(ei3.value)
+    assert seen["n_calls"] == 1
+
+    # non-OOM errors pass through untouched
     def other(*a, **k):
         raise _jax.errors.JaxRuntimeError("INTERNAL: something else")
 
+    m4 = pmg.PoissonGPLVMJump1D(5, n_latent_bin=8, movement_variance=1,
+                                tuning_lengthscale=3.0)
     monkeypatch.setattr(_hmm, "smooth_combined_chunked", other)
-    with pytest.raises(_jax.errors.JaxRuntimeError) as ei2:
-        m.decode_latent(y)
-    assert "set_config_override" not in str(ei2.value)
+    with pytest.raises(_jax.errors.JaxRuntimeError) as ei4:
+        m4.decode_latent(y)
+    assert "set_config_override" not in str(ei4.value)
 
 
 def test_fused_certificate_retry_reproduces_trajectory(monkeypatch):

@@ -5,6 +5,7 @@ tolerances here are float32 noise, not approximation budgets.
 Reference contract: poor_man_gplvm/decoder.py:258-332 (6-tuple), via the
 prob engine which is oracle-verified in test_hmm.py."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -146,24 +147,29 @@ def test_parallel_want_acc_false_identical_and_skips_joint():
     y = rng.poisson(1.5, size=(T, N)).astype(np.float32)
     tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
     trans = _joint_trans()
+    # choose_parallel_config deliberately ignores want_acc (one cached
+    # program per shape), so both runs use the identical launch config —
+    # but they are still two separately-compiled programs, and XLA may
+    # reassociate float reductions differently between them on real TPU.
+    # Bit-exact equality is only guaranteed on the CPU/interpret path,
+    # where both run the same pure-JAX reference passes.
+    on_cpu = jax.devices()[0].platform == "cpu"
+    exact = (np.testing.assert_array_equal if on_cpu
+             else lambda a, b: np.testing.assert_allclose(
+                 a, b, rtol=1e-6, atol=1e-7))
     for kw in (dict(memory_mode="checkpoint", marginal_smooth=True),
                dict()):
         full = _run(y, tuning, trans, "pallas_parallel", **kw)
         lean = _run(y, tuning, trans, "pallas_parallel", want_acc=False,
                     **kw)
         assert lean[4] is None
-        assert float(lean[1]) == float(full[1])
+        np.testing.assert_allclose(float(lean[1]), float(full[1]),
+                                   rtol=0 if on_cpu else 1e-6)
         if kw.get("marginal_smooth"):
-            np.testing.assert_array_equal(
-                np.asarray(lean[0][0]), np.asarray(full[0][0]))
-            np.testing.assert_array_equal(
-                np.asarray(lean[0][1]), np.asarray(full[0][1]))
+            exact(np.asarray(lean[0][0]), np.asarray(full[0][0]))
+            exact(np.asarray(lean[0][1]), np.asarray(full[0][1]))
         else:
-            np.testing.assert_array_equal(
-                np.asarray(lean[0]), np.asarray(full[0]))
-        # the lean backward block may legitimately differ on TPU (config
-        # keys on want_acc); on the CPU interpret path both run the same
-        # pure-JAX reference, so equality above is exact
+            exact(np.asarray(lean[0]), np.asarray(full[0]))
 
 
 def test_parallel_tiny_T_falls_back():

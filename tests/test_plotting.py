@@ -148,6 +148,10 @@ def test_extras():
     assert len(ax4.lines) == 1
     fig5, ax5, ani = animate_3d_scatter(rng.normal(size=(20, 3)))
     assert ani is not None
+    # render one frame so Animation.__del__ doesn't warn that the animation
+    # was deleted without ever being drawn
+    ani._init_draw()
+    ani._draw_frame(0)
     fig6, ax6, proj = plot_pca3d(rng.normal(size=(50, 8)))
     assert proj.shape == (50, 3)
 
