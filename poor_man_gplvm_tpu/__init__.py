@@ -28,6 +28,7 @@ from poor_man_gplvm_tpu.ops.basis import generate_basis
 from poor_man_gplvm_tpu.config import (
     get_matmul_precision,
     set_matmul_precision,
+    set_scan_precision,
 )
 
 # reference-compatible submodule surface (poor_man_gplvm/__init__.py:6-12)
@@ -70,4 +71,5 @@ __all__ = [
     "generate_basis",
     "set_matmul_precision",
     "get_matmul_precision",
+    "set_scan_precision",
 ]

@@ -12,7 +12,9 @@ import importlib
 
 import jax
 
-__all__ = ["set_matmul_precision", "get_matmul_precision"]
+__all__ = [
+    "set_matmul_precision", "get_matmul_precision", "set_scan_precision",
+]
 
 #: Modules whose ``PRECISION`` global controls the emission / M-step
 #: statistics matmuls (the large (T, L) x (L, N) contractions).  The HMM
@@ -79,3 +81,18 @@ def get_matmul_precision():
     from poor_man_gplvm_tpu.ops import emissions
 
     return emissions.PRECISION
+
+
+def set_scan_precision(mode):
+    """Set the matmul precision of the parallel-in-time scan recursions
+    ('highest' | 'bf16x3' | 'bf16') — the complementary knob to
+    :func:`set_matmul_precision`, which covers the emission/M-step
+    statistics matmuls.  See
+    :func:`poor_man_gplvm_tpu.ops.pallas.parallel_scan.set_scan_precision`
+    for the accuracy/speed ladder; model fused-program caches key on it,
+    so flipping it retraces automatically (standalone jitted programs
+    need ``jax.clear_caches()``)."""
+    from poor_man_gplvm_tpu.ops.pallas import parallel_scan
+
+    parallel_scan.set_scan_precision(mode)
+    jax.clear_caches()

@@ -399,9 +399,12 @@ class _GPLVMCommon(ABC):
             for v in hyperparam.values()
         ):
             return None
+        from poor_man_gplvm_tpu.ops.pallas import parallel_scan as _ps
+
         static_key = (
             "decode", self.inference_engine, self.observation_model,
             tuple(sorted(hyperparam)), n_time_per_chunk,
+            _ps.scan_mode_key(),
         )
         cache = getattr(self, "_fused_prog_cache", None)
         if cache is None:
@@ -652,9 +655,11 @@ class _GPLVMCommon(ABC):
         # joint posterior — a different buffer — and lean mode snapshots
         # nothing.
         donate_post = self.has_dynamics or output_mode == "lean"
+        from poor_man_gplvm_tpu.ops.pallas import parallel_scan as _ps
+
         cache_key = (
             n_mid, mm, obs, engine, n_time_per_chunk, output_mode, ws_spec,
-            donate_post, scan_fast,
+            donate_post, scan_fast, _ps.scan_mode_key(),
             tuple(sorted(hyper_num.keys())),
             tuple(sorted((k, str(v)) for k, v in hyper_static.items())),
         )

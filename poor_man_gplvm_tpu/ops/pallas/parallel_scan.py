@@ -86,6 +86,69 @@ HIGHEST = jax.lax.Precision.HIGHEST
 #: escape hatch at the HBM edge (see set_config_override)
 _CONFIG_OVERRIDE = None
 
+#: matmul precision of the fixed-point recursion dots (see
+#: set_scan_precision); "highest" = f32-exact (6 MXU passes / dot)
+_SCAN_PRECISION = "highest"
+
+
+def set_scan_precision(mode):
+    """Set the matmul precision of the parallel-scan recursion dots.
+
+    - ``"highest"`` (default): f32-exact (6-pass bf16x6 on the MXU) —
+      reference-parity numerics, the only mode the parity suite certifies.
+    - ``"bf16x3"``: 3-pass hi/lo-split emulation (~5e-7 element error on
+      the recursion dots; the per-step normalization keeps it from
+      accumulating).  Mosaic rejects ``Precision.HIGH`` inside kernels, so
+      the split is hand-rolled (a = a_hi + a_lo in bf16; a@b ~ a_hi@b_hi +
+      a_lo@b_hi + a_hi@b_lo).
+    - ``"bf16"``: 1-pass bf16 (~1e-3 posterior error — the same order the
+      ``filter_bf16`` memory mode already accepts for its stored filter).
+
+    Trace-time knob: models pick it up through their fused-program cache
+    keys (``scan_mode_key`` below), but an already-jitted standalone
+    program keeps the precision it was traced with — call before the
+    first fit/decode at a given shape or ``jax.clear_caches()``.  Every
+    fast-path solve remains certified by the emit pass's post-hoc
+    residual regardless of mode (fit_em raises above 1e-3)."""
+    global _SCAN_PRECISION
+    if mode not in ("highest", "bf16x3", "bf16"):
+        raise ValueError(f"unknown scan precision {mode!r}")
+    _SCAN_PRECISION = mode
+
+
+def scan_mode_key():
+    """(config override, scan precision) — trace-relevant module state for
+    callers that cache traced programs keyed on static config (the model
+    layer's _fused_prog_cache includes this so knob flips retrace)."""
+    return (_CONFIG_OVERRIDE, _SCAN_PRECISION)
+
+
+def _split_bf16(x):
+    """x (f32) -> (hi, lo) bf16 pair with hi + lo ~ x (hi the rounding,
+    lo the residual): the operand split for 3-pass f32 emulation."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _scan_dot(a, b, b_hilo, scan_prec):
+    """One recursion dot under ``scan_prec``.  ``b_hilo`` is the weight
+    operand's precomputed bf16 (hi, lo) split — loop-invariant inside the
+    kernels, so callers hoist it out of the sequential step loop."""
+    if scan_prec == "highest":
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=HIGHEST)
+    b_hi, b_lo = b_hilo if b_hilo is not None else _split_bf16(b)
+    if scan_prec == "bf16":
+        return jnp.dot(a.astype(jnp.bfloat16), b_hi,
+                       preferred_element_type=jnp.float32)
+    a_hi, a_lo = _split_bf16(a)
+    return (
+        jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+    )
+
 
 def set_config_override(cfg):
     """Force the fixed-point scan launch config to ``cfg = (C, block_t_fwd,
@@ -259,7 +322,7 @@ def _psmooth_pass_ref(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t,
 
 def _pfilter_kernel(nv_ref, w_ref, tlat_ref, tdyn_ref, ins_ref, *refs,
                     n_dyn, C, block_t, tc_eff, masked_tail,
-                    uniform_rows, finals_only):
+                    uniform_rows, finals_only, scan_prec="highest"):
     if finals_only:
         final_ref, carry_ref = refs
         post_ref = sval_ref = None
@@ -270,6 +333,13 @@ def _pfilter_kernel(nv_ref, w_ref, tlat_ref, tdyn_ref, ins_ref, *refs,
     @pl.when(g == 0)
     def _():
         carry_ref[:] = ins_ref[:]
+
+    # weight splits are loop-invariant: hoist them out of the step loop
+    tlat_hilo = [
+        _split_bf16(tlat_ref[d])
+        if scan_prec != "highest" and not uniform_rows[d] else None
+        for d in range(n_dyn)
+    ]
 
     chunk_off = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) * tc_eff
 
@@ -289,9 +359,7 @@ def _pfilter_kernel(nv_ref, w_ref, tlat_ref, tdyn_ref, ins_ref, *refs,
                 )
             else:
                 priors.append(
-                    jnp.dot(q_d, tlat_ref[d],
-                            preferred_element_type=jnp.float32,
-                            precision=HIGHEST)
+                    _scan_dot(q_d, tlat_ref[d], tlat_hilo[d], scan_prec)
                 )
         s = None
         us = []
@@ -322,8 +390,9 @@ def _pfilter_kernel(nv_ref, w_ref, tlat_ref, tdyn_ref, ins_ref, *refs,
 
 
 def _pfilter_pass(w_c, tlat_p, tdyn, ins, *, C, block_t, tc_eff, n_valid,
-                  uniform_rows, finals_only, out_vma=None):
-    if _interpret():  # off-TPU: the pure-JAX scan reference
+                  uniform_rows, finals_only, scan_prec="highest",
+                  out_vma=None):
+    if _interpret():  # off-TPU: the pure-JAX scan reference (f32-exact)
         return _pfilter_pass_ref(
             w_c, tlat_p, tdyn, ins, C=C, block_t=block_t, tc_eff=tc_eff,
             n_valid=n_valid, uniform_rows=uniform_rows,
@@ -344,6 +413,7 @@ def _pfilter_pass(w_c, tlat_p, tdyn, ins, *, C, block_t, tc_eff, n_valid,
         _pfilter_kernel, n_dyn=n_dyn, C=C, block_t=block_t, tc_eff=tc_eff,
         masked_tail=Tcp != tc_eff,
         uniform_rows=uniform_rows, finals_only=finals_only,
+        scan_prec=scan_prec,
     )
     nv = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1, 1)
     const3 = lambda g: (0, 0, 0)
@@ -394,7 +464,7 @@ def _psmooth_kernel(nv_ref, post_ref, tlat_ref, tlatT_ref, tdyn_ref,
                     ins_ref, *refs,
                     n_dyn, C, block_t, tc_eff, n_blocks,
                     masked_tail, uniform_rows, marginal, finals_only,
-                    want_acc=True):
+                    want_acc=True, scan_prec="highest"):
     if finals_only:
         final_ref, carry_ref, prior_ref = refs
         out_ref = dynm_ref = acc_ref = r_ref = acc_scr = None
@@ -422,6 +492,18 @@ def _psmooth_kernel(nv_ref, post_ref, tlat_ref, tlatT_ref, tdyn_ref,
         if acc_scr is not None:
             acc_scr[:] = jnp.zeros_like(acc_scr)
 
+    # weight splits are loop-invariant: hoist them out of the step loop
+    tlat_hilo = [
+        _split_bf16(tlat_ref[d])
+        if scan_prec != "highest" and not uniform_rows[d] else None
+        for d in range(n_dyn)
+    ]
+    tlatT_hilo = [
+        _split_bf16(tlatT_ref[e])
+        if scan_prec != "highest" and not uniform_rows[e] else None
+        for e in range(n_dyn)
+    ]
+
     # block prologue: priors for every row in the block, one batched matmul
     # per dynamics channel (prior_{t+1} = push(post_t), same-row indexing —
     # mirrors hmm._backward_filterstore_chunk's trans.push_batch)
@@ -434,9 +516,9 @@ def _psmooth_kernel(nv_ref, post_ref, tlat_ref, tlatT_ref, tdyn_ref,
                 jnp.sum(q_d, axis=2, keepdims=True) * tlat_ref[d, 0:1, :]
             )
         else:
-            prior_ref[:, d] = jnp.dot(
+            prior_ref[:, d] = _scan_dot(
                 q_d.reshape(block_t * C, q_d.shape[-1]), tlat_ref[d],
-                preferred_element_type=jnp.float32, precision=HIGHEST,
+                tlat_hilo[d], scan_prec,
             ).reshape(q_d.shape)
 
     chunk_off = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) * tc_eff
@@ -470,9 +552,7 @@ def _psmooth_kernel(nv_ref, post_ref, tlat_ref, tlatT_ref, tdyn_ref,
                 )
             else:
                 ss.append(
-                    jnp.dot(rs[e], tlatT_ref[e],
-                            preferred_element_type=jnp.float32,
-                            precision=HIGHEST)
+                    _scan_dot(rs[e], tlatT_ref[e], tlatT_hilo[e], scan_prec)
                 )
         norm = None
         smooth_rows = []
@@ -527,7 +607,7 @@ def _psmooth_kernel(nv_ref, post_ref, tlat_ref, tlatT_ref, tdyn_ref,
 
 def _psmooth_pass(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t, tc_eff,
                   n_valid, uniform_rows, marginal, finals_only,
-                  want_acc=True, out_vma=None):
+                  want_acc=True, scan_prec="highest", out_vma=None):
     if _interpret():  # off-TPU: the pure-JAX scan reference
         return _psmooth_pass_ref(
             post_c, tlat_p, tlatT_p, tdyn, ins, C=C, block_t=block_t,
@@ -551,7 +631,7 @@ def _psmooth_pass(post_c, tlat_p, tlatT_p, tdyn, ins, *, C, block_t, tc_eff,
         _psmooth_kernel, n_dyn=n_dyn, C=C, block_t=block_t, tc_eff=tc_eff,
         n_blocks=n_blocks, masked_tail=Tcp != tc_eff,
         uniform_rows=uniform_rows, marginal=marginal,
-        finals_only=finals_only, want_acc=want_acc,
+        finals_only=finals_only, want_acc=want_acc, scan_prec=scan_prec,
     )
     nv = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1, 1)
     final_spec = pl.BlockSpec((n_dyn, C, Lp), const3,
@@ -640,14 +720,16 @@ def _chunk_to_flat(x_c, tc_eff, T):
     jax.jit,
     static_argnames=["C", "block_t", "block_t_bwd", "tc_eff", "T",
                      "uniform_rows", "marginal", "want_post", "max_passes",
-                     "tol", "fast", "want_carry", "has_ws", "want_acc"],
+                     "tol", "fast", "want_carry", "has_ws", "want_acc",
+                     "scan_prec"],
     donate_argnums=(0,),  # ll (2 GB at north-star) — returned when want_post
 )
 def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale,
                          fwd_ws, bwd_ws, ws_pred, ws_valid, *,
                          C, block_t, block_t_bwd, tc_eff, T, uniform_rows,
                          marginal, want_post, max_passes, tol, fast,
-                         want_carry, has_ws, want_acc=True):
+                         want_carry, has_ws, want_acc=True,
+                         scan_prec="highest"):
     n_dyn, L = tlat.shape[0], tlat.shape[-1]
     Lp = _round_up(L, LANE)
     Tcp = _round_up(tc_eff, max(block_t, block_t_bwd))
@@ -690,7 +772,7 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale,
 
     fwd = functools.partial(
         _pfilter_pass, C=C, block_t=block_t, tc_eff=tc_eff, n_valid=T,
-        uniform_rows=uniform_rows,
+        uniform_rows=uniform_rows, scan_prec=scan_prec,
     )
 
     # ``fast`` (fused-EM path): exit on the PREDICTED RESIDUAL instead of
@@ -822,7 +904,7 @@ def _smooth_parallel_jit(ll, tlat, tdyn, p_init, likelihood_scale,
 
     bwd = functools.partial(
         _psmooth_pass, C=C, tc_eff=tc_eff, n_valid=T,
-        uniform_rows=uniform_rows, marginal=marginal,
+        uniform_rows=uniform_rows, marginal=marginal, scan_prec=scan_prec,
     )
 
     def bwd_shift(fin):
@@ -1037,5 +1119,5 @@ def smooth_parallel(ll, tlat, tdyn, p_init, likelihood_scale, *,
         uniform_rows=tuple(uniform_rows), marginal=marginal,
         want_post=want_post, max_passes=int(max_passes), tol=float(tol),
         fast=bool(fast), want_carry=bool(want_carry), has_ws=has_ws,
-        want_acc=bool(want_acc),
+        want_acc=bool(want_acc), scan_prec=_SCAN_PRECISION,
     )

@@ -343,3 +343,41 @@ def test_set_config_override():
         ps.set_config_override(None)
     auto = ps.choose_parallel_config(1_000_000, 500, 2)
     assert auto is not None and auto != (64, 8, 8)
+
+
+def test_set_scan_precision_plumbing_and_split():
+    """set_scan_precision: validates modes, flips scan_mode_key (the
+    model-layer fused caches key on it, so a flip retraces), and the
+    engine still matches the sequential reference on the interpret path
+    (off-TPU the reference passes are f32 regardless of mode).  The bf16
+    operand split must reconstruct f32 to bf16x3 accuracy."""
+    rng = np.random.default_rng(21)
+    y = rng.poisson(1.5, size=(500, N)).astype(np.float32)
+    tuning = rng.gamma(2.0, 1.0, size=(L, N)).astype(np.float32)
+    trans = _joint_trans()
+    ref = _run(y, tuning, trans, "prob")
+    with pytest.raises(ValueError):
+        ps.set_scan_precision("float16")
+    try:
+        ps.set_scan_precision("bf16x3")
+        assert ps.scan_mode_key() == (None, "bf16x3")
+        par = _run(y, tuning, trans, "pallas_parallel")
+        _assert_match(ref, par)
+    finally:
+        ps.set_scan_precision("highest")
+    assert ps.scan_mode_key() == (None, "highest")
+    # hi/lo split: |(hi + lo) - x| <= bf16 rounding of the residual
+    x = jnp.asarray(rng.standard_normal((64, 64)).astype(np.float32))
+    hi, lo = ps._split_bf16(x)
+    assert hi.dtype == jnp.bfloat16 and lo.dtype == jnp.bfloat16
+    recon = hi.astype(jnp.float32) + lo.astype(jnp.float32)
+    # residual-of-residual: |x - (hi + lo)| <= |x| * 2^-18 for the two
+    # nested bf16 roundings (~1e-5 at |x| ~ 3)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(x),
+                               rtol=0, atol=2e-5)
+    # a bf16x3 dot emulation is ~1e-6-accurate vs the f32 dot
+    a = jnp.asarray(rng.standard_normal((32, 64)).astype(np.float32))
+    d3 = ps._scan_dot(a, x, None, "bf16x3")
+    d0 = ps._scan_dot(a, x, None, "highest")
+    np.testing.assert_allclose(np.asarray(d3), np.asarray(d0),
+                               rtol=0, atol=5e-5)
