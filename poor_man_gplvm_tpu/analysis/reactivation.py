@@ -23,6 +23,7 @@ __all__ = [
     "circular_shuffle_column_independently",
     "random_reassign_prepost_latent_difference",
     "generate_homogeneous_poisson_surrogate_data",
+    "decode_ripple_epochs",
     "aggregate_within_ripple_per_epoch",
 ]
 
@@ -244,6 +245,41 @@ def generate_homogeneous_poisson_surrogate_data(
         ]
         surrogates.append(np.concatenate(parts, axis=0))
     return surrogates, rate_per_ep, nbins_per_ep, t_l
+
+
+def decode_ripple_epochs(model, spk_mat, ripple_intv, t_l=None,
+                         hyperparam=None, batch_size=None):
+    """Smoother-decode every ripple/burst epoch as one vmapped program.
+
+    The reference decodes short epochs serially (a host loop over epochs,
+    reference reactivation_analysis.py:21-55, plus the chunked host loop
+    inside ``get_naive_bayes_ma_chunk``, decoder.py:134-148) — one device
+    dispatch per epoch.  This wraps ``model.decode_latent_epochs`` (all
+    epochs padded + stacked into ONE program) and reshapes the result for
+    the reactivation workflow: a tidy per-epoch DataFrame of mean latent
+    posteriors plus the per-epoch log-marginals.
+
+    ``spk_mat`` may be a TsdFrame (then ``ripple_intv`` may be a
+    time-valued IntervalSet) or a plain (T, N) array with ``ripple_intv``
+    as (E, 2) bin-index pairs.
+
+    Returns ``{"epoch_res": <decode_latent_epochs dict>,
+    "posterior_mean_df": (E, L) DataFrame,
+    "log_marginal_per_epoch": (E,)}``.
+    """
+    if compat.is_tsdframe(spk_mat):
+        t_l = spk_mat.t if t_l is None else t_l
+    res = model.decode_latent_epochs(
+        spk_mat, ripple_intv, hyperparam=hyperparam, t_l=t_l,
+        batch_size=batch_size,
+    )
+    mean_df = pd.DataFrame(res["posterior_mean"])
+    mean_df.index.name = "epoch"
+    return {
+        "epoch_res": res,
+        "posterior_mean_df": mean_df,
+        "log_marginal_per_epoch": res["log_marginal_per_epoch"],
+    }
 
 
 def aggregate_within_ripple_per_epoch(posterior_latent, ripple_intv_per_ep):

@@ -132,7 +132,7 @@ def _with_oom_guidance(fn):
         gc.collect()
         _ps.set_config_override(_LEAN_SCAN_CONFIG)
         try:
-            return fn(self, *a, **k)
+            result = fn(self, *a, **k)
         except jax.errors.JaxRuntimeError as e2:
             if not _is_oom(e2):
                 raise
@@ -141,8 +141,35 @@ def _with_oom_guidance(fn):
             ) from e2
         finally:
             _ps.set_config_override(None)
+        # Re-key the lean-traced programs under the post-reset override so
+        # repeat calls HIT the cache instead of retracing the default
+        # (OOM-prone) config and re-OOMing: the fused caches embed
+        # scan_mode_key() = (override, precision), and the finally above
+        # just flipped the override component back to None.  jax.jit
+        # specializes per input shape under each entry, so only the
+        # recovered shape stays lean — a new shape through the re-keyed
+        # entry traces fresh with override=None (the fast config).
+        _rekey_lean_cache(self, _ps)
+        return result
 
     return wrapper
+
+
+def _rekey_lean_cache(model, _ps):
+    """Alias every fused-cache entry traced under the lean scan override to
+    the same key with the override cleared (see _with_oom_guidance)."""
+    cache = getattr(model, "_fused_prog_cache", None)
+    if not cache:
+        return
+    prec = _ps._SCAN_PRECISION
+    lean_part = (_LEAN_SCAN_CONFIG, prec)
+    none_part = (None, prec)
+    for key in list(cache):
+        if isinstance(key, tuple) and lean_part in key:
+            new_key = tuple(
+                none_part if el == lean_part else el for el in key
+            )
+            cache.setdefault(new_key, cache[key])
 
 
 def build_decode_prog(observation_model, engine, has_dyn, n_time_per_chunk,
@@ -513,6 +540,159 @@ class _GPLVMCommon(ABC):
             "ll_per_pos_l": ll_per_pos_l,
         }
 
+    # ------------------------------------------------------------------
+    # batched short-epoch decoding (reactivation/ripple workloads)
+    # ------------------------------------------------------------------
+    def decode_latent_epochs(
+        self, y, intervals, hyperparam=None, ma_neuron=None, ma_latent=None,
+        likelihood_scale=1.0, t_l=None, batch_size=None,
+    ):
+        """Smoother-decode many short epochs as ONE vmapped device program.
+
+        The reference's reactivation/ripple workflow decodes hundreds of
+        ~1 s epochs in a host loop (reference reactivation_analysis.py:21-55
+        and the ``get_naive_bayes_ma_chunk`` chunk loop, decoder.py:134-148)
+        — each iteration paying a full dispatch.  Here the epochs are
+        right-padded to the longest epoch, stacked to ``(E, Tmax, N)`` and
+        smoothed by one jitted ``vmap`` over the epoch axis.  Padding is
+        EXACT: padded rows carry an all-zero neuron mask, so their emission
+        likelihood is constant across states — they contribute identically
+        zero to the per-epoch log-marginal, and (because constant
+        likelihood factors cancel in the backward recursion) the smoothed
+        posterior over the real rows equals each epoch's standalone
+        smoother output.
+
+        Parameters
+        ----------
+        y : (T, N) array or TsdFrame — the full binned spike matrix.
+        intervals : (E, 2) int array of ``[start, end)`` bin indices, or a
+            pynapple-style IntervalSet (requires ``t_l`` or a TsdFrame
+            ``y`` to convert times to bins).
+        batch_size : optional int — decode epochs in batches of this size
+            (one dispatch per batch) to bound device memory for very large
+            E x Tmax; default = all epochs in one program.
+
+        Returns a dict with ``posterior_latent_marg`` (E, Tmax, L) padded
+        with NaN past each epoch's end, ``posterior_mean`` (E, L) mean over
+        real rows, ``log_marginal_per_epoch`` (E,), ``lengths`` (E,) and
+        ``valid`` (E, Tmax).
+        """
+        hyperparam = {} if hyperparam is None else hyperparam
+        if compat.is_tsdframe(y):
+            t_l = y.t if t_l is None else t_l
+            y = y.d
+        y = np.asarray(y)
+        if hasattr(intervals, "values") and hasattr(intervals, "loc"):
+            intervals = np.asarray(intervals.values)
+        intervals = np.asarray(intervals)
+        if intervals.ndim != 2 or intervals.shape[1] != 2:
+            raise ValueError(
+                f"intervals must be (E, 2); got {intervals.shape}"
+            )
+        if not np.issubdtype(intervals.dtype, np.integer):
+            if t_l is None:
+                raise ValueError(
+                    "float (time-valued) intervals need t_l (or a "
+                    "TsdFrame y) to convert to bin indices"
+                )
+            t_l = np.asarray(t_l)
+            starts = np.searchsorted(t_l, intervals[:, 0], side="left")
+            ends = np.searchsorted(t_l, intervals[:, 1], side="right")
+            intervals = np.stack([starts, ends], axis=1)
+        lengths = (intervals[:, 1] - intervals[:, 0]).astype(np.int64)
+        if np.any(lengths <= 0):
+            raise ValueError("every interval must contain >= 1 bin")
+        E = len(intervals)
+        Tmax = int(lengths.max())
+        N = y.shape[1]
+
+        ma_neuron = (
+            self.ma_neuron_default if ma_neuron is None
+            else np.asarray(ma_neuron, np.float32)
+        )
+        if np.asarray(ma_neuron).ndim != 1:
+            raise ValueError(
+                "decode_latent_epochs supports 1-D ma_neuron only (the "
+                "2-D slot carries the epoch padding mask)"
+            )
+        ma_latent = (
+            self.ma_latent_default if ma_latent is None else ma_latent
+        )
+        trans, _ = self._make_transition(hyperparam)
+        hyper_num = {
+            k: v for k, v in hyperparam.items()
+            if isinstance(v, (int, float, np.integer, np.floating,
+                              np.ndarray, jnp.ndarray))
+        }
+
+        # stack + pad host-side (epochs are short by construction)
+        y_b = np.zeros((E, Tmax, N), np.float32)
+        valid = np.zeros((E, Tmax), np.float32)
+        for e, (a, b) in enumerate(intervals):
+            y_b[e, : b - a] = y[a:b]
+            valid[e, : b - a] = 1.0
+        ma_b = valid[:, :, None] * np.asarray(ma_neuron, np.float32)[None, None, :]
+
+        engine = (
+            self.inference_engine
+            if self.inference_engine in ("prob", "log") else "prob"
+        )
+        prog = self._epoch_decode_prog(engine, tuple(sorted(hyper_num)))
+
+        post_parts, lml_parts = [], []
+        bs = E if batch_size is None else int(batch_size)
+        for s0 in range(0, E, bs):
+            post_p, lml_p = prog(
+                jnp.asarray(y_b[s0:s0 + bs]), jnp.asarray(ma_b[s0:s0 + bs]),
+                self.tuning, trans, jnp.asarray(ma_latent),
+                {k: jnp.asarray(v, jnp.float32) for k, v in
+                 hyper_num.items()},
+                jnp.float32(likelihood_scale),
+            )
+            post_parts.append(np.asarray(post_p))
+            lml_parts.append(np.asarray(lml_p))
+        post = np.concatenate(post_parts, axis=0)  # (E, Tmax, L)
+        lml = np.concatenate(lml_parts, axis=0)  # (E,)
+
+        mean = (
+            (post * valid[:, :, None]).sum(axis=1)
+            / lengths[:, None].astype(np.float64)
+        )
+        post = np.where(valid[:, :, None] > 0, post, np.nan)
+        return {
+            "posterior_latent_marg": post,
+            "posterior_mean": mean,
+            "log_marginal_per_epoch": lml,
+            "lengths": lengths,
+            "valid": valid.astype(bool),
+        }
+
+    def _epoch_decode_prog(self, engine, hyper_keys):
+        """Jitted vmapped epoch smoother, cached per static config."""
+        key = ("epochs", engine, self.observation_model, hyper_keys)
+        cache = getattr(self, "_fused_prog_cache", None)
+        if cache is None:
+            cache = self._fused_prog_cache = {}
+        prog = cache.get(key)
+        if prog is not None:
+            return prog
+        obs = self.observation_model
+        has_dyn = self.has_dynamics
+
+        def one(y_e, ma2d_e, tuning, trans, ma_latent, hyper, scale):
+            smooth, lml, *_ = hmm.smooth_combined_chunked(
+                y_e, tuning, hyper, trans, ma2d_e, ma_latent,
+                likelihood_scale=scale, observation_model=obs,
+                engine=engine, want_acc=False,
+            )
+            post = jnp.exp(smooth)
+            return (post.sum(axis=1) if has_dyn else post), lml
+
+        prog = cache[key] = jax.jit(jax.vmap(
+            one, in_axes=(0, 0, None, None, None, None, None)
+        ))
+        return prog
+
     def _fused_mid_iters(
         self, y_, hyperparam, trans, tuning_basis, ma_neuron, ma_latent,
         likelihood_scale, n_time_per_chunk, memory_mode, params, opt_state,
@@ -807,6 +987,15 @@ class _GPLVMCommon(ABC):
                 y_.shape[0], key, **posterior_init_kwargs
             )
             key, _ = jax.random.split(key, 2)
+        elif isinstance(log_posterior_init, np.ndarray) and \
+                log_posterior_init.dtype == np.float64:
+            # reference-produced inits floor -inf at -1e40 (core.py:250),
+            # which overflows (with a RuntimeWarning) when the f64 host
+            # array is cast to f32 on device; clamp to the shared finite
+            # sentinel first — both values carry zero probability mass
+            log_posterior_init = np.maximum(
+                log_posterior_init, hmm.JOINT_ACC_INIT
+            ).astype(np.float32)
 
         log_posterior_curr = log_posterior_init
         log_marginal_l = []

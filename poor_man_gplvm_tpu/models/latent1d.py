@@ -17,6 +17,7 @@ from poor_man_gplvm_tpu.models.base import _GPLVMCommon
 from poor_man_gplvm_tpu.ops import kernels as gpk
 from poor_man_gplvm_tpu.ops import mstep as fth
 from poor_man_gplvm_tpu.ops import hmm
+from poor_man_gplvm_tpu.ops.hmm import JOINT_ACC_INIT
 from poor_man_gplvm_tpu.utils import compat
 
 __all__ = ["AbstractGPLVM1D", "PoissonGPLVM1D", "GaussianGPLVM1D"]
@@ -28,7 +29,11 @@ def _init_posterior_uniform_noise(T, n_latent_bin, key, random_scale):
     posterior = posterior + jax.random.uniform(key, shape=posterior.shape) * random_scale
     posterior = posterior / posterior.sum(axis=1, keepdims=True)
     log_posterior = jnp.log(posterior)
-    log_posterior = jnp.where(log_posterior == -jnp.inf, -1e40, log_posterior)
+    # reference core.py floors -inf at -1e40; that is not f32-representable,
+    # so use the shared finite sentinel (see ops/hmm.py JOINT_ACC_INIT)
+    log_posterior = jnp.where(
+        log_posterior == -jnp.inf, JOINT_ACC_INIT, log_posterior
+    )
     return log_posterior, posterior
 
 

@@ -54,7 +54,15 @@ from poor_man_gplvm_tpu.ops.emissions import (
 )
 from poor_man_gplvm_tpu.ops.pallas.scan_kernels import _detect_uniform_rows
 
-JOINT_ACC_INIT = -1e40  # reference decoder.py:240
+# Zero-probability sentinel for log-space accumulators and floors.  The
+# reference uses -1e40 (decoder.py:240), which is NOT representable in
+# float32: embedding it as an f32 constant overflows to -inf with a
+# RuntimeWarning on every trace.  We use the largest representable
+# magnitude instead — numerically interchangeable (exp() underflows to 0
+# and logaddexp(JOINT_ACC_INIT, x) == x exactly for any finite x of
+# ordinary scale), but finite, so log-space subtractions stay NaN-free
+# and traces stay warning-free.
+JOINT_ACC_INIT = -3.0e38
 
 __all__ = [
     "LatentTransition",
@@ -73,7 +81,8 @@ def prob_to_log(p, floor=JOINT_ACC_INIT):
     Probability-space inference underflows tiny posteriors to 0; the log-space
     reference would report large negative values there.  Anything below
     float32 tiny carries no probability mass, so we floor at ``floor``
-    (default -1e40, matching the reference's untouched-joint init)."""
+    (default ``JOINT_ACC_INIT = -3.0e38``, the f32-representable stand-in
+    for the reference's -1e40 untouched-joint init — see its comment)."""
     return jnp.where(p > 0, jnp.log(jnp.where(p > 0, p, 1.0)), floor)
 
 

@@ -183,9 +183,20 @@ def choose_parallel_config(T, L, n_dyn):
     Lp = _round_up(L, LANE)
     nd = max(1, n_dyn)
 
+    # non-"highest" scan precision hoists hi/lo bf16 splits of the latent
+    # transition operands into kernel VMEM: up to 2 (Lp, Lp) bf16 copies
+    # per dynamics channel in the forward kernel, 4 in the backward
+    # (tlat + tlatT).  Budget for the worst case (no uniform-row channel)
+    # so the auto config can't tip Mosaic's scoped-VMEM limit when
+    # set_scan_precision != "highest" (trace-time state, part of
+    # scan_mode_key so flips re-choose).
+    split_bytes = (
+        4 * nd * Lp * Lp * 2 if _SCAN_PRECISION != "highest" else 0
+    )
+
     def bwd_vmem(C, bt):
         blocks = bt * nd * C * Lp * 4
-        fixed = 2 * nd * Lp * Lp * 4 + 3 * nd * C * Lp * 4
+        fixed = 2 * nd * Lp * Lp * 4 + 3 * nd * C * Lp * 4 + split_bytes
         # marginal emit: post in (x2), latmarg out (x2), prior + r
         # scratches, on-chip acc accumulator
         marg = 2 * blocks + (2 * blocks) // nd + 2 * blocks \

@@ -360,7 +360,8 @@ def _staggered_backward(filt, trans, axis_name, n_time_valid=None):
 # ---------------------------------------------------------------------------
 
 
-def _pscan_smooth_local(ll, trans, scale, t_true, axis_name, tol=1e-6):
+def _pscan_smooth_local(ll, trans, scale, t_true, axis_name, tol=1e-6,
+                        scan_prec="highest"):
     """Per-shard body of the cross-mesh fixed-point smoother.
 
     KEEP IN SYNC with ops/pallas/parallel_scan._smooth_parallel_jit: the
@@ -452,6 +453,7 @@ def _pscan_smooth_local(ll, trans, scale, t_true, axis_name, tol=1e-6):
     fwd = partial(
         _ps._pfilter_pass, C=C, block_t=bt_f, tc_eff=tc_eff,
         n_valid=nv_fwd, uniform_rows=trans.uniform_rows, out_vma=out_vma,
+        scan_prec=scan_prec,
     )
     perm_f = [(i, i + 1) for i in range(nt - 1)]
     max_passes = nt * C
@@ -521,6 +523,7 @@ def _pscan_smooth_local(ll, trans, scale, t_true, axis_name, tol=1e-6):
     bwd = partial(
         _ps._psmooth_pass, C=C, tc_eff=tc_eff, n_valid=nv_bwd,
         uniform_rows=trans.uniform_rows, marginal=False, out_vma=out_vma,
+        scan_prec=scan_prec,
     )
 
     def b_body(state):
@@ -679,9 +682,15 @@ def sharded_smooth(
             if choose_parallel_config(Tl, L, n_dyn) is not None
             else "pipeline"
         )
+    from poor_man_gplvm_tpu.ops.pallas import parallel_scan as _psmod
+
     fn = _smooth_program(
         mesh, observation_model, dt_l is not None, noise_std.ndim == 1,
         time_engine,
+        # set_scan_precision reaches the multichip pscan recursion dots too;
+        # the pipeline engine is precision-independent, so keep its cache
+        # key stable across flips
+        _psmod._SCAN_PRECISION if time_engine == "pscan" else "highest",
     )
     log_smooth, lml, log_causal, ratios, log_acc = fn(
         y_p, tuning_p, ma_p, ma_latent, noise_std, dt_p,
@@ -699,12 +708,14 @@ def sharded_smooth(
 
 @_lru_cache(maxsize=32)
 def _smooth_program(mesh, observation_model, has_dt, noise_is_vec,
-                    time_engine="pipeline"):
+                    time_engine="pipeline", scan_prec="highest"):
     """Jitted sharded-smoother program, cached per (mesh, emission, dt/noise
-    layout, time engine) so repeated calls (the EM loop) hit the jit trace
-    cache instead of re-tracing every iteration.  Everything value-like —
-    transition matrices, likelihood scale, valid length — enters as an
-    operand."""
+    layout, time engine, scan precision) so repeated calls (the EM loop) hit
+    the jit trace cache instead of re-tracing every iteration.  Everything
+    value-like — transition matrices, likelihood scale, valid length —
+    enters as an operand.  ``scan_prec`` only reaches the pscan engine's
+    recursion dots; the pipeline engine always passes "highest" so
+    precision flips don't retrace it."""
 
     def local(y_b, tuning_b, ma_b, ma_lat, noise_b, dt_b, scale, t_true,
               trans):
@@ -724,7 +735,8 @@ def _smooth_program(mesh, observation_model, has_dt, noise_is_vec,
         ll = jnp.where(row_real & ~ma_lat[None, :], MASK_NEG, ll)
 
         if time_engine == "pscan":
-            return _pscan_smooth_local(ll, trans, scale, t_true, "time")
+            return _pscan_smooth_local(ll, trans, scale, t_true, "time",
+                                       scan_prec=scan_prec)
 
         post, ratios, lml, _final = _staggered_forward(
             ll[None], trans, scale, "time"

@@ -200,7 +200,12 @@ def event_triggered_analysis(feature, event_ts, n_shuffle=10, minmax=4,
     post = peri.loc[:, (cols > 0) & (cols < test_win)].mean(axis=1)
     diff = post - pre
     analysis_res["diff_median"] = diff.median()
-    analysis_res["effect_size"] = diff.mean() / diff.std()
+    # degenerate samples (0/1 events, identical diffs) have no spread:
+    # report NaN explicitly instead of raising a divide-by-zero warning
+    diff_std = diff.std()
+    analysis_res["effect_size"] = (
+        diff.mean() / diff_std if diff_std > 0 else float("nan")
+    )
     analysis_res["wc_res"] = scipy.stats.wilcoxon(diff)
 
     corr_res = {}

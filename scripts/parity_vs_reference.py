@@ -47,6 +47,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
+import warnings  # noqa: E402
+
+# The REFERENCE embeds -1e40 constants (core.py:250/582, decoder.py:240)
+# that overflow to -inf with a RuntimeWarning when jax casts them to
+# f32.  poor_man_gplvm_tpu uses an f32-representable sentinel and emits
+# no such warning (asserted by the verify drive); this filter only
+# silences the reference side of the comparison.
+warnings.filterwarnings(
+    "ignore", message="overflow encountered in cast",
+    category=RuntimeWarning,
+)
 import jax.random as jr  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -149,7 +160,12 @@ def run_case(case_name, kind, ref_cls_name, engine, T=300, N=12, L=25,
 
     # shared posterior init from the reference's own sampler
     log_post_init, _ = ref_model.init_latent_posterior(T, jr.PRNGKey(7))
-    log_post_init_np = np.asarray(log_post_init)
+    # the reference floors -inf at -1e40 (core.py:250), which overflows
+    # with a RuntimeWarning on the f64->f32 device cast; clamp to the
+    # f32-representable sentinel (both carry zero probability mass)
+    log_post_init_np = np.maximum(
+        np.asarray(log_post_init, dtype=np.float64), -3.0e38
+    ).astype(np.float32)
 
     errs = {}
 
@@ -234,7 +250,12 @@ def run_gain_case(engine, T=300, N=12, L=25, n_iter=3, n_time_per_chunk=97):
 
     y = make_data("poisson", T, N)
     log_post_init, _ = ref_model.init_latent_posterior(T, jr.PRNGKey(7))
-    log_post_init_np = np.asarray(log_post_init)
+    # the reference floors -inf at -1e40 (core.py:250), which overflows
+    # with a RuntimeWarning on the f64->f32 device cast; clamp to the
+    # f32-representable sentinel (both carry zero probability mass)
+    log_post_init_np = np.maximum(
+        np.asarray(log_post_init, dtype=np.float64), -3.0e38
+    ).astype(np.float32)
 
     errs = {}
     em_kw = dict(
@@ -266,6 +287,69 @@ def run_gain_case(engine, T=300, N=12, L=25, n_iter=3, n_time_per_chunk=97):
     errs["nb_posterior_latent"] = abs_err(
         np.exp(np.asarray(nb_tpu["log_posterior"])),
         np.exp(np.asarray(nb_ref["log_posterior"])),
+    )
+    return errs
+
+
+def run_basis_tuning_case(T=400, N=10, L=25, rank=6):
+    """Parity for the legacy basis-weighted tuning path (BASELINE.json
+    config 4; reference fit_tuning_with_basis.py:13-96).
+
+    The reference's SOLVER (jaxopt.LBFGS, stubbed here) can't run, so the
+    case pins function-level parity on everything up to the solver — the
+    (w, b) GLM link, the grouped statistics and the per-neuron objective
+    at pinned params must match the actual reference code to float32
+    exactness — and self-checks that our optax.lbfgs solve improves the
+    objective it just agreed on."""
+    install_reference_stubs()
+    import poor_man_gplvm.fit_tuning_with_basis as ref_ftb
+
+    from poor_man_gplvm_tpu.ops import fit_tuning_with_basis as tpu_ftb
+
+    rng = np.random.default_rng(0)
+    spk = jnp.asarray(rng.poisson(1.0, size=(T, N)).astype(np.float32))
+    post = rng.dirichlet(np.ones(L), size=T).astype(np.float32)
+    post = jnp.asarray(post)
+    basis = jnp.asarray(rng.normal(size=(L, rank)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(rank, N)) * 0.3).astype(np.float32))
+    b = jnp.asarray((rng.normal(size=(N,)) * 0.1).astype(np.float32))
+    prior_hyper = 1.0
+
+    errs = {}
+    errs["basis_glm_tuning"] = rel_err(
+        tpu_ftb.glm_get_tuning((w, b), basis),
+        ref_ftb.glm_get_tuning((w, b), basis),
+    )
+    s_ref, t_ref = ref_ftb.group_spk_occupancy_chunk_neuron(
+        spk, post, n_neuron_per_chunk=4
+    )
+    s_tpu, t_tpu = tpu_ftb.group_spk_occupancy_chunk_neuron(
+        spk, post, n_neuron_per_chunk=4
+    )
+    errs["basis_stats_s_b"] = rel_err(s_tpu, s_ref)
+    errs["basis_stats_t_b"] = rel_err(t_tpu, t_ref)
+    obj_ref = ref_ftb.get_log_poisson_p_y_joint_params_oneneuron_grouped(
+        (w[:, 0], b[0]), s_ref[:, 0], basis, t_ref, prior_hyper
+    )
+    obj_tpu = tpu_ftb.get_log_poisson_p_y_joint_params_oneneuron_grouped(
+        (w[:, 0], b[0]), s_tpu[:, 0], basis, t_tpu, prior_hyper
+    )
+    errs["basis_objective"] = rel_err(obj_tpu, obj_ref)
+
+    # solver self-check on the agreed objective: final summed loss must
+    # improve on the init (jaxopt.LBFGS itself is stubbed, so the
+    # reference solver output is unavailable for comparison)
+    init_loss = sum(
+        float(tpu_ftb.get_log_poisson_p_y_joint_params_oneneuron_grouped(
+            (w[:, n], b[n]), s_tpu[:, n], basis, t_tpu, prior_hyper
+        ))
+        for n in range(N)
+    )
+    _, _, final_err = tpu_ftb.m_step_get_tuning_all_neuron_grouped(
+        (w, b), spk, basis, post, prior_hyper, maxiter=30
+    )
+    errs["basis_solver_improves"] = (
+        0.0 if float(final_err) < -init_loss else float("inf")
     )
     return errs
 
@@ -307,6 +391,13 @@ def run_all(engines=("prob", "log"), quick=False):
             bad = check_case_errs(errs)
             status = "OK" if not bad else f"FAIL {bad}"
             print(f"{key:32s} worst={worst:.2e}  {status}", file=sys.stderr)
+        key = "fit_tuning_with_basis"
+        errs = run_basis_tuning_case()
+        results[key] = errs
+        worst = max(errs.values())
+        bad = check_case_errs(errs)
+        status = "OK" if not bad else f"FAIL {bad}"
+        print(f"{key:32s} worst={worst:.2e}  {status}", file=sys.stderr)
     return results
 
 

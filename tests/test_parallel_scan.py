@@ -375,9 +375,21 @@ def test_set_scan_precision_plumbing_and_split():
     # nested bf16 roundings (~1e-5 at |x| ~ 3)
     np.testing.assert_allclose(np.asarray(recon), np.asarray(x),
                                rtol=0, atol=2e-5)
-    # a bf16x3 dot emulation is ~1e-6-accurate vs the f32 dot
+    # bf16x3 dot error model: the 3-pass emulation drops the lo@lo cross
+    # term, whose per-product magnitude is |a||b|*2^-18 (each lo operand is
+    # the bf16 rounding residual, <= 2^-9 relative).  Over a K-length
+    # contraction of unit-scale operands the dropped terms sum with random
+    # signs: typical ~sqrt(K)*2^-18, worst-case K*2^-18 = 2.4e-4 at K=64.
+    # Observed max over this (32, 64) case is ~1.6e-4 — within the model.
     a = jnp.asarray(rng.standard_normal((32, 64)).astype(np.float32))
     d3 = ps._scan_dot(a, x, None, "bf16x3")
     d0 = ps._scan_dot(a, x, None, "highest")
+    K = x.shape[0]
     np.testing.assert_allclose(np.asarray(d3), np.asarray(d0),
-                               rtol=0, atol=5e-5)
+                               rtol=0, atol=K * 2.0 ** -18)
+    # ... and it must beat the 1-pass bf16 dot by >=1 order of magnitude
+    # (bf16 rounds the operands themselves: error ~sqrt(K)*2^-9 ~ 1.6e-2)
+    d1 = ps._scan_dot(a, x, None, "bf16")
+    err3 = float(jnp.max(jnp.abs(d3 - d0)))
+    err1 = float(jnp.max(jnp.abs(d1 - d0)))
+    assert err3 < err1 / 10.0

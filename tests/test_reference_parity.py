@@ -32,6 +32,11 @@ pytestmark = [
     pytest.mark.skipif(
         not reference_available(), reason="reference checkout not available"
     ),
+    # the REFERENCE embeds -1e40 constants (core.py:250/582, decoder.py:240)
+    # that overflow to -inf with a RuntimeWarning on the f32 cast; our
+    # package uses a representable sentinel and emits none (verify drive
+    # asserts 0) — this only silences the reference side of the comparison
+    pytest.mark.filterwarnings("ignore:overflow encountered in cast"),
 ]
 
 import parity_vs_reference as pvr  # noqa: E402
