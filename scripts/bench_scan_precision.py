@@ -34,10 +34,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "highest"
+    arg = sys.argv[1] if len(sys.argv) > 1 else "all"
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     L = int(sys.argv[3]) if len(sys.argv) > 3 else 500
     N = int(sys.argv[4]) if len(sys.argv) > 4 else 500
+    modes = ["highest", "bf16x3", "bf16"] if arg == "all" else [arg]
+
+    import gc
 
     import jax.numpy as jnp
     import jax.random as jr
@@ -45,30 +48,42 @@ def main():
     import poor_man_gplvm_tpu as pmg
     from poor_man_gplvm_tpu.ops.pallas import parallel_scan as ps
 
-    ps.set_scan_precision(mode)
-
     rng = np.random.default_rng(0)
     y = jnp.asarray(rng.poisson(0.5, size=(T, N)).astype(np.float32))
 
     kw = dict(n_iter=12, n_time_per_chunk=100_000, verboase=False,
               save_every=10**9, output_mode="lean", memory_mode="filter_bf16")
-    model = pmg.PoissonGPLVMJump1D(
-        N, n_latent_bin=L, movement_variance=1, tuning_lengthscale=10.0)
-    t0 = time.time()
-    res = model.fit_em(y, key=jr.PRNGKey(3), **kw)
-    print(f"warmup (compile) {time.time()-t0:.1f}s", file=sys.stderr)
-
-    best = float("inf")
-    for _ in range(2):
+    # all modes in ONE process: a dead process's device buffers linger for
+    # minutes through the remote tunnel, so a fresh-process-per-mode ladder
+    # RESOURCE_EXHAUSTs every mode after the first (measured 2026-08-20).
+    # The model-layer fused caches key on scan_mode_key(), so flipping the
+    # precision retraces correctly; clear_caches between modes keeps only
+    # one compiled program set resident.
+    for mode in modes:
+        ps.set_scan_precision(mode)
+        jax.clear_caches()
+        gc.collect()
+        model = pmg.PoissonGPLVMJump1D(
+            N, n_latent_bin=L, movement_variance=1, tuning_lengthscale=10.0)
         t0 = time.time()
         res = model.fit_em(y, key=jr.PRNGKey(3), **kw)
-        best = min(best, (time.time() - t0) / kw["n_iter"])
-    lml = float(np.asarray(res["log_marginal"]))
-    passes = getattr(model, "_scan_passes_mid", None)
-    if passes is not None:
-        passes = float(np.asarray(passes, dtype=np.float64).sum(axis=1).mean()) + 2.0
-    print(f"{mode}: {best:.3f} s/iter, final lml {lml:.6f}, "
-          f"passes/iter {passes}")
+        print(f"[{mode}] warmup (compile) {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            res = model.fit_em(y, key=jr.PRNGKey(3), **kw)
+            best = min(best, (time.time() - t0) / kw["n_iter"])
+        lml = float(np.asarray(res["log_marginal"]))
+        passes = getattr(model, "_scan_passes_mid", None)
+        if passes is not None:
+            passes = float(
+                np.asarray(passes, dtype=np.float64).sum(axis=1).mean()
+            ) + 2.0
+        print(f"{mode}: {best:.3f} s/iter, final lml {lml:.6f}, "
+              f"passes/iter {passes}", flush=True)
+        model = res = None
+    ps.set_scan_precision("highest")
 
 
 if __name__ == "__main__":

@@ -304,6 +304,12 @@ def run_basis_tuning_case(T=400, N=10, L=25, rank=6):
     install_reference_stubs()
     import poor_man_gplvm.fit_tuning_with_basis as ref_ftb
 
+    # the reference does `import jax.scipy.special as jscipy` then calls
+    # `jscipy.special.xlogy` (fit_tuning_with_basis.py:10,87) — valid on
+    # its pinned jax 0.4.26, an AttributeError on current jax; point the
+    # alias at jax.scipy so the nested `.special` access resolves
+    ref_ftb.jscipy = jax.scipy
+
     from poor_man_gplvm_tpu.ops import fit_tuning_with_basis as tpu_ftb
 
     rng = np.random.default_rng(0)
@@ -429,6 +435,7 @@ def main():
         "n_breaches": n_bad,
         "worst_fit_log_marginal_rel": max(
             e["fit_log_marginal_l"] for e in results.values()
+            if "fit_log_marginal_l" in e  # basis case is function-level
         ),
         "cases": results,
     }

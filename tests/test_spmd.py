@@ -3,6 +3,8 @@ mesh.  The sharded EM step must be numerically equivalent (not just
 'similar') to the reference-shaped single-device path, since the time
 pipeline and neuron psum are exact."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -264,6 +266,14 @@ def test_graft_entry_single_chip():
     assert np.isfinite(float(out[0]))
 
 
+@pytest.mark.skipif(
+    os.environ.get("PMG_SLOW_TESTS") != "1",
+    reason="full 5-check dryrun takes ~100 s on one CPU core and the "
+    "driver executes dryrun_multichip directly every round "
+    "(MULTICHIP_r{N}.json); set PMG_SLOW_TESTS=1 to run it in-suite "
+    "(the mesh paths it composes stay covered by this module's own "
+    "sharded-vs-serial tests)",
+)
 def test_graft_entry_multichip():
     import importlib.util, pathlib
 
