@@ -576,6 +576,22 @@ def test_oom_recovery_retries_with_lean_config(monkeypatch):
     assert seen["override_at_retry"] == mbase._LEAN_SCAN_CONFIG
     assert _ps._CONFIG_OVERRIDE is None  # restored after recovery
     assert np.isfinite(res["log_marginal_final"])
+    # ADVICE r4 #1: the lean-traced program must ALSO be cached under the
+    # post-reset override key, so repeat calls at the recovered shape hit
+    # the cache instead of retracing the OOM-prone default config
+    lean_part = (mbase._LEAN_SCAN_CONFIG, _ps._SCAN_PRECISION)
+    none_part = (None, _ps._SCAN_PRECISION)
+    cache = m._fused_prog_cache
+    lean_keys = [k for k in cache if lean_part in k]
+    assert lean_keys, list(cache)
+    for k in lean_keys:
+        alias = tuple(none_part if el == lean_part else el for el in k)
+        assert cache.get(alias) is cache[k], (k, list(cache))
+    # ... and the repeat call reuses it: no new OOM, no extra retrace
+    n_before = seen["n_calls"]
+    res2 = m.decode_latent(y)
+    assert np.isfinite(res2["log_marginal_final"])
+    assert seen["n_calls"] == n_before  # served from the fused cache
 
     # a persistent OOM exhausts the single retry and surfaces the knob
     # guidance (fresh model: the recovered program is cached on `m`)
