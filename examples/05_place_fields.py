@@ -58,8 +58,17 @@ spk = rng.poisson(rates * DT).astype(np.float32)
 model = pmg.PoissonGPLVMJump1D(
     N, n_latent_bin=L, movement_variance=1.0, tuning_lengthscale=8.0
 )
+# the notebook analyzes an already-fitted production model; anchor the
+# latent to binned position with a supervised init (initializers.py) so
+# the post-fit analyses below see a comparable-quality fit
+from poor_man_gplvm_tpu.initializers import init_with_label_1D
+
+pos_edges0 = np.linspace(pos.min(), pos.max(), L + 1)
+pos_bins0 = np.clip(np.digitize(pos, pos_edges0) - 1, 0, L - 1)
+lp_init = jnp.asarray(init_with_label_1D(pos_bins0.astype(float),
+                                         n_latent_bin=L))
 em_res = model.fit_em(jnp.asarray(spk), key=jr.PRNGKey(0), n_iter=4,
-                      verboase=False)
+                      log_posterior_init=lp_init, verboase=False)
 dec = model.decode_latent(jnp.asarray(spk))
 
 model_path = os.path.join(OUT_DIR, "model.pkl")

@@ -23,7 +23,12 @@ jax.config.update("jax_platforms", "cpu")
 # persistent XLA compilation cache for the whole suite: repeat runs (the
 # common iteration loop on this 1-core machine) skip every recompile, and
 # within one run per-instance jax.jit wrappers with identical HLO hit the
-# disk cache instead of recompiling (VERDICT r2 next #8)
+# disk cache instead of recompiling (VERDICT r2 next #8).  The populated
+# cache (~22 MB, 500 entries) is COMMITTED so a fresh checkout's first
+# suite run is warm (~490 s vs ~900-1080 s cold on this 1-core machine;
+# cold wall time additionally swings ±20% with machine load).  Stale
+# entries are harmless — unmatched HLO keys are simply ignored and new
+# programs are added beside them.
 _cache_dir = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".jax_cache_tests",

@@ -454,20 +454,31 @@ def test_fused_decode_matches_manual_composition():
         )
 
 
-def test_set_matmul_precision_knob():
+def test_set_matmul_precision_knob(monkeypatch):
     """The deployment precision knob flips the emission/M-step matmul
     precision (PERFORMANCE.md measured ladder), keeps results close, and
-    never touches the scan-step recursion precision."""
+    never touches the scan-step recursion precision.
+
+    The knob's real jax.clear_caches() is no-op'd here: mid-suite it would
+    drop EVERY test's compiled programs (measured ~2x suite wall time on
+    one core — the expensive selection/sweep/parity files run after this
+    one).  The retrace the knob needs is forced per-model instead by
+    clearing this model's own fused cache; the numeric effect of the flip
+    is a TPU property anyway (CPU matmuls are f32 at every Precision), so
+    what this test pins is the plumbing."""
     import jax
 
     from poor_man_gplvm_tpu import config as cfg
     from poor_man_gplvm_tpu.ops import emissions, mstep
+
+    monkeypatch.setattr(jax, "clear_caches", lambda: None)
 
     m = pmg.PoissonGPLVMJump1D(8, n_latent_bin=10, tuning_lengthscale=3.0)
     _, spk = m.sample(120, key=jr.PRNGKey(0))
     base = m.decode_latent(spk)["log_marginal_final"]
     try:
         cfg.set_matmul_precision("high")
+        m._fused_prog_cache.clear()  # per-model retrace, not global
         assert emissions.PRECISION == jax.lax.Precision.HIGH
         assert mstep.PRECISION == jax.lax.Precision.HIGH
         assert pmg.get_matmul_precision() == jax.lax.Precision.HIGH

@@ -182,16 +182,20 @@ def test_one_split_batched_equals_serial(data, model_class_str):
     """backend='batched' reproduces the serial results DataFrame on a
     6-config grid (incl. shape-changing n_latent_bin / tuning_lengthscale
     sweeps) for two model classes (VERDICT round-2 next #2)."""
-    grid = {
-        "movement_variance": [0.5, 2.0],
-        "n_latent_bin": [10, 14],
-        "tuning_lengthscale": [2.0, 5.0],
-    }
-    if model_class_str != "poisson":
-        # the full 8-config grid (incl. the dynamics-hyperparam axis) runs
-        # once on the flagship class; the second class re-proves the
-        # shape-changing axes only — 4 configs (suite wall-time, 1 CPU core)
-        grid.pop("movement_variance")
+    # 4 configs per class, axes split so every sweep axis is covered once
+    # (suite wall-time, 1 CPU core): poisson proves the dynamics axis +
+    # the L-changing axis; the latent-only class proves the rank-changing
+    # tuning_lengthscale axis + L again
+    if model_class_str == "poisson":
+        grid = {
+            "movement_variance": [0.5, 2.0],
+            "n_latent_bin": [10, 14],
+        }
+    else:
+        grid = {
+            "n_latent_bin": [10, 14],
+            "tuning_lengthscale": [2.0, 5.0],
+        }
     fk = dict(FAST_FIT)
     fk["n_iter"] = 3
     fk["m_step_maxiter"] = 25
