@@ -83,6 +83,131 @@ def _scan_passes_total(model):
     return float(p.sum(axis=1).mean()) + 2.0  # + one emit pass per direction
 
 
+def _run_northstar():
+    """North-star diagnostic (T=1e6 x L=500 x N=500, lean outputs).
+
+    Runs FIRST in main(): the program set sits near HBM capacity and
+    wants a clean chip (round-3's nulled north-star came from running
+    it AFTER the sweep/selection program set; the in-library OOM
+    recovery now covers that ordering, but a clean-chip first run both
+    derisks it and reports the number a dedicated production process
+    would see).  Frees its 2 GB spike matrix and every compiled
+    program before returning."""
+    import gc
+
+    import jax
+    import jax.random as jr
+
+    import poor_man_gplvm_tpu as pmg
+
+    rng = np.random.default_rng(7)
+    northstar = None
+    northstar_passes = 6.0
+    ns_prec = None
+    ns_cert_rel = None
+    try:
+        import jax.numpy as jnp
+
+        from poor_man_gplvm_tpu.ops.pallas import parallel_scan as _ps
+
+        Tn, Ln, Nn = 1_000_000, 500, 500
+        y_big = jnp.asarray(
+            rng.poisson(0.5, size=(Tn, Nn)).astype(np.float32)
+        )
+        ns_kw = dict(key=jr.PRNGKey(3), n_iter=12, verboase=False,
+                     save_every=10**9, output_mode="lean")
+        # Attempt ladder (first green wins).  The primary rung is the
+        # measured-best stack from the 2026-08-20 precision/config sweep
+        # (PERFORMANCE.md): C=512 scan chunks + the 3-pass bf16x3
+        # recursion dots + HIGH (bf16x3-pass) emission/M-step matmuls,
+        # CERTIFIED in-bench against a strict-f32 run of the same shape
+        # (<= 1e-5 relative on the final 12-iter log-marginal; on
+        # certificate failure the strict run's own timing is reported
+        # instead).  Later rungs are the HBM-lean fallbacks; fit_em
+        # itself also auto-retries an OOM once with the lean config
+        # (models/base._with_oom_guidance).
+        from poor_man_gplvm_tpu import config as _cfgmod
+
+        attempts = [
+            ("filter_bf16", (512, 8, 2), "bf16x3", "high", 200_000),
+            ("filter_bf16", (512, 8, 2), "bf16x3", "high", 100_000),
+            ("filter_bf16", None, "highest", "highest", 100_000),
+            ("filter_bf16", (64, 8, 8), "highest", "highest", 100_000),
+            ("checkpoint", (64, 8, 8), "highest", "highest", 100_000),
+        ]
+
+        def timed_fit(mm, override, scan_prec, mat_prec, ntpc):
+            """(s/iter, final lml, passes) at one config, warm-timed."""
+            _ps.set_config_override(override)
+            _ps.set_scan_precision(scan_prec)
+            _cfgmod.set_matmul_precision(mat_prec)
+            jax.clear_caches()
+            gc.collect()
+            m = pmg.PoissonGPLVMJump1D(
+                Nn, n_latent_bin=Ln, movement_variance=1,
+                tuning_lengthscale=10.0,
+            )
+            # warm with the EXACT timed configuration; n_iter=12 is
+            # representative of a production EM run and lets the
+            # warm-started fixed points reach their steady state
+            m.fit_em(y_big, memory_mode=mm, n_time_per_chunk=ntpc,
+                     **ns_kw)
+            dt = float("inf")
+            for _ in range(2):  # min of 2: tunnel dispatch varies
+                t0 = time.time()
+                res = m.fit_em(y_big, memory_mode=mm,
+                               n_time_per_chunk=ntpc, **ns_kw)
+                dt = min(dt, (time.time() - t0) / 12)
+            return dt, float(np.asarray(res["log_marginal"])), \
+                _scan_passes_total(m)
+
+        for mm, override, scan_prec, mat_prec, ntpc in attempts:
+            label = f"{mm}+cfg{override}+{scan_prec}+{mat_prec}+{ntpc}"
+            try:
+                dt, lml, passes = timed_fit(mm, override, scan_prec,
+                                            mat_prec, ntpc)
+                if (scan_prec, mat_prec) != ("highest", "highest"):
+                    # in-bench parity certificate: strict-f32 fit of the
+                    # identical shape/config
+                    dt_x, lml_x, passes_x = timed_fit(
+                        mm, override, "highest", "highest", ntpc
+                    )
+                    ns_cert_rel = abs(lml - lml_x) / abs(lml_x)
+                    if ns_cert_rel <= 1e-5:
+                        log(f"north-star certificate OK: reduced-"
+                            f"precision lml within {ns_cert_rel:.1e} of "
+                            f"strict f32")
+                        if dt_x < dt:  # keep whichever measured faster
+                            dt, lml, passes = dt_x, lml_x, passes_x
+                            scan_prec = mat_prec = "highest"
+                    else:
+                        log(f"north-star certificate FAILED "
+                            f"({ns_cert_rel:.1e} > 1e-5): reporting the "
+                            f"strict-f32 run")
+                        dt, lml, passes = dt_x, lml_x, passes_x
+                        scan_prec = mat_prec = "highest"
+                northstar, northstar_passes = dt, passes
+                ns_prec = f"{scan_prec}+{mat_prec}"
+                log(f"north-star fit_em (T=1e6, L=500, N=500, lean, "
+                    f"{label} -> {ns_prec}): {northstar:.3f} s/iter "
+                    f"({northstar_passes:.1f} scan passes/iter)")
+                break
+            except Exception as e:
+                log(f"north-star {label} failed: {type(e).__name__}: {e}")
+                gc.collect()
+        _ps.set_config_override(None)
+        _ps.set_scan_precision("highest")
+        _cfgmod.set_matmul_precision("highest")
+        del y_big
+    except Exception as e:  # memory ceilings differ across chips
+        log(f"north-star config skipped: {type(e).__name__}: {e}")
+    # free the spike matrix + the north-star program set before the
+    # remaining sections compile theirs
+    jax.clear_caches()
+    gc.collect()
+    return northstar, northstar_passes, ns_prec, ns_cert_rel
+
+
 def main():
     import jax
     import jax.random as jr
@@ -99,6 +224,9 @@ def main():
     n_timed_iters = 30
 
     log(f"devices: {jax.devices()}")
+    # north-star first: clean-chip measurement (see _run_northstar)
+    northstar, northstar_passes, ns_prec, ns_cert_rel = \
+        _run_northstar()
     rng = np.random.default_rng(0)
     # pre-place on device: passing host numpy re-uploads ~40 MB through
     # the remote tunnel on EVERY fit_em call (~0.8 s), flooring the
@@ -321,128 +449,7 @@ def main():
     except Exception as e:
         log(f"basis-tuning bench skipped: {type(e).__name__}: {e}")
 
-    # north-star-scale diagnostic (T=1e6 x L=500 x N=500, lean outputs).
-    # The run sits near HBM capacity: release every earlier section's
-    # device buffers and cached programs first (leftover arrays + the
-    # sweep/selection program set measurably tip the north-star program's
-    # peak over on a 16 GB chip)
     headline_passes = _scan_passes_total(model)
-    # drop every earlier section's device references (assignment, not
-    # `del locals()[...]` — mutating locals() is a no-op in CPython)
-    y = y10k = dec = model = None
-    y_s = res = one = y_sel = None
-    import gc
-
-    gc.collect()
-    # compiled executables hold HBM too: the sweep/selection program set
-    # compiled above measurably tips the near-capacity north-star program
-    # over on a 16 GB chip (this exact omission nulled the round-3
-    # north-star — VERDICT r3 weak #2).  None of those programs is needed
-    # again; the persistent on-disk compilation cache makes any future
-    # recompile cheap.
-    import jax
-
-    jax.clear_caches()
-    northstar = None
-    northstar_passes = 6.0
-    ns_prec = None
-    ns_cert_rel = None
-    try:
-        import jax.numpy as jnp
-
-        from poor_man_gplvm_tpu.ops.pallas import parallel_scan as _ps
-
-        Tn, Ln, Nn = 1_000_000, 500, 500
-        y_big = jnp.asarray(
-            rng.poisson(0.5, size=(Tn, Nn)).astype(np.float32)
-        )
-        ns_kw = dict(key=jr.PRNGKey(3), n_iter=12, verboase=False,
-                     save_every=10**9, output_mode="lean")
-        # Attempt ladder (first green wins).  The primary rung is the
-        # measured-best stack from the 2026-08-20 precision/config sweep
-        # (PERFORMANCE.md): C=512 scan chunks + the 3-pass bf16x3
-        # recursion dots + HIGH (bf16x3-pass) emission/M-step matmuls,
-        # CERTIFIED in-bench against a strict-f32 run of the same shape
-        # (<= 1e-5 relative on the final 12-iter log-marginal; on
-        # certificate failure the strict run's own timing is reported
-        # instead).  Later rungs are the HBM-lean fallbacks; fit_em
-        # itself also auto-retries an OOM once with the lean config
-        # (models/base._with_oom_guidance).
-        from poor_man_gplvm_tpu import config as _cfgmod
-
-        attempts = [
-            ("filter_bf16", (512, 8, 2), "bf16x3", "high", 200_000),
-            ("filter_bf16", (512, 8, 2), "bf16x3", "high", 100_000),
-            ("filter_bf16", None, "highest", "highest", 100_000),
-            ("filter_bf16", (64, 8, 8), "highest", "highest", 100_000),
-            ("checkpoint", (64, 8, 8), "highest", "highest", 100_000),
-        ]
-
-        def timed_fit(mm, override, scan_prec, mat_prec, ntpc):
-            """(s/iter, final lml, passes) at one config, warm-timed."""
-            _ps.set_config_override(override)
-            _ps.set_scan_precision(scan_prec)
-            _cfgmod.set_matmul_precision(mat_prec)
-            jax.clear_caches()
-            gc.collect()
-            m = pmg.PoissonGPLVMJump1D(
-                Nn, n_latent_bin=Ln, movement_variance=1,
-                tuning_lengthscale=10.0,
-            )
-            # warm with the EXACT timed configuration; n_iter=12 is
-            # representative of a production EM run and lets the
-            # warm-started fixed points reach their steady state
-            m.fit_em(y_big, memory_mode=mm, n_time_per_chunk=ntpc,
-                     **ns_kw)
-            dt = float("inf")
-            for _ in range(2):  # min of 2: tunnel dispatch varies
-                t0 = time.time()
-                res = m.fit_em(y_big, memory_mode=mm,
-                               n_time_per_chunk=ntpc, **ns_kw)
-                dt = min(dt, (time.time() - t0) / 12)
-            return dt, float(np.asarray(res["log_marginal"])), \
-                _scan_passes_total(m)
-
-        for mm, override, scan_prec, mat_prec, ntpc in attempts:
-            label = f"{mm}+cfg{override}+{scan_prec}+{mat_prec}+{ntpc}"
-            try:
-                dt, lml, passes = timed_fit(mm, override, scan_prec,
-                                            mat_prec, ntpc)
-                if (scan_prec, mat_prec) != ("highest", "highest"):
-                    # in-bench parity certificate: strict-f32 fit of the
-                    # identical shape/config
-                    dt_x, lml_x, passes_x = timed_fit(
-                        mm, override, "highest", "highest", ntpc
-                    )
-                    ns_cert_rel = abs(lml - lml_x) / abs(lml_x)
-                    if ns_cert_rel <= 1e-5:
-                        log(f"north-star certificate OK: reduced-"
-                            f"precision lml within {ns_cert_rel:.1e} of "
-                            f"strict f32")
-                        if dt_x < dt:  # keep whichever measured faster
-                            dt, lml, passes = dt_x, lml_x, passes_x
-                            scan_prec = mat_prec = "highest"
-                    else:
-                        log(f"north-star certificate FAILED "
-                            f"({ns_cert_rel:.1e} > 1e-5): reporting the "
-                            f"strict-f32 run")
-                        dt, lml, passes = dt_x, lml_x, passes_x
-                        scan_prec = mat_prec = "highest"
-                northstar, northstar_passes = dt, passes
-                ns_prec = f"{scan_prec}+{mat_prec}"
-                log(f"north-star fit_em (T=1e6, L=500, N=500, lean, "
-                    f"{label} -> {ns_prec}): {northstar:.3f} s/iter "
-                    f"({northstar_passes:.1f} scan passes/iter)")
-                break
-            except Exception as e:
-                log(f"north-star {label} failed: {type(e).__name__}: {e}")
-                gc.collect()
-        _ps.set_config_override(None)
-        _ps.set_scan_precision("highest")
-        _cfgmod.set_matmul_precision("highest")
-        del y_big
-    except Exception as e:  # memory ceilings differ across chips
-        log(f"north-star config skipped: {type(e).__name__}: {e}")
 
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
